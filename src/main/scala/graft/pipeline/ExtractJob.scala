@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.{ExtractorSet, MarkdownRenderer, TextRenderer}
+
+/** The core Spark job: transcript table → per-turn extraction
+  * (SURVEY.md §2.10, the north rule's engine).
+  *
+  * Shape: scan → salted repartition by conv_id → mapPartitions with
+  * one ExtractorSet per partition (partition-scoped analogue of the
+  * reference's process-wide extractor cache, ExtractorFactory.ts:9 —
+  * fresh state per partition kills the cross-document state bugs by
+  * construction) → typed output rows.
+  *
+  * Scale notes:
+  *  - extraction is per-turn pure, so the salt (turn_idx mod S) can
+  *    break up pathological conversations without changing results —
+  *    output order is only imposed downstream where an invariant
+  *    requires it (Reassembly);
+  *  - the repartition is the job's ONLY shuffle; everything else is
+  *    narrow. At 10^12 turns the input Iceberg table is already
+  *    bucket(conv_id)-partitioned, and AQE coalesces the tail;
+  *  - the per-turn work is opaque string→struct (Catalyst can't see
+  *    into HTML), so `mapPartitions` on a typed Dataset is the
+  *    optimal plan — one codegen boundary, no per-row UDF setup
+  *    (SURVEY.md §4.3).
+  */
+object ExtractJob {
+
+  def extractTurn(ex: ExtractorSet, t: Turn, renderFormats: Boolean): ExtractedTurn = {
+    val url = TranscriptGen.urlOf(t.conv_id, t.turn_idx, t.tool)
+    val t0 = System.nanoTime()
+    ex.extract(t.text, url) match {
+      case Right(r) =>
+        ExtractedTurn(
+          conv_id = t.conv_id, turn_idx = t.turn_idx, role = t.role,
+          platform = r.platform, title = r.title, content = r.content,
+          text_content = r.textContent,
+          markdown = if (renderFormats) MarkdownRenderer.render(r.content) else "",
+          text_format = if (renderFormats) TextRenderer.render(r.content) else "",
+          metadata = r.metadata,
+          metrics = ExtractMetrics(r.metrics.nodesScored,
+            r.metrics.boilerplateRatio, r.metrics.fallbackStage,
+            System.nanoTime() - t0),
+          error = None)
+      case Left(err) =>
+        ExtractedTurn(t.conv_id, t.turn_idx, t.role, "", "", "", "", "", "",
+          Map.empty, ExtractMetrics(0, 0.0, 0, System.nanoTime() - t0),
+          Some(err))
+    }
+  }
+
+  def runTyped(spark: SparkSession, turns: DataFrame,
+               numPartitions: Int = 0,
+               renderFormats: Boolean = true): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"))
+      .as[Turn]
+      // salted hash partitioning: conv_id alone would put the whole
+      // skewed conversation on one task
+      .repartition(n, col("conv_id"),
+        pmod(col("turn_idx"), lit(TranscriptGen.SkewSalt)))
+      .mapPartitions { it =>
+        val ex = new ExtractorSet // one parser/extractor set per partition
+        it.map(extractTurn(ex, _, renderFormats))
+      }
+  }
+
+  def run(spark: SparkSession, turns: DataFrame): DataFrame =
+    runTyped(spark, turns).toDF()
+}
+
+/** Per-conversation reassembly in stable (conv_id, turn_idx) order —
+  * the table-scale analogue of the reference's forum-thread
+  * reorganization (ForumExtractor.ts:245-273; SURVEY.md §2.8).
+  * sort_array(collect_list(struct(...))) gives a deterministic
+  * per-conversation document regardless of partitioning.
+  */
+object Reassembly {
+  def conversations(extracted: DataFrame): DataFrame =
+    extracted.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      concat_ws("\n\n",
+        transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("text_content")))),
+          x => x.getField("text_content"))).as("conversation_text"),
+      sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_errors"))
+}

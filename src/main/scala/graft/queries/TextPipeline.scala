@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table:
+  * exact dedup, token counting, quality scoring, n-gram Jaccard
+  * near-dup, language ID, document fingerprinting, MinHash-LSH and
+  * SimHash near-dup candidates.
+  *
+  * Scale notes (100 TB design intent):
+  *  - q04: dedup shuffles ONLY (md5, doc_id) — never the document
+  *    bodies. groupBy(md5) has map-side partial agg.
+  *  - q05/q06/q11/q14: embarrassingly parallel scans, single
+  *    projection, no shuffle except the final tiny per-lang agg; all
+  *    text math is codegen'd `functions._` (no UDFs).
+  *  - q07: the shingle self-join is the classic hot-key risk; AQE
+  *    skew-join handles moderate skew, and at 100 TB a document-
+  *    frequency cap on shingles (drop shingles in > X docs — they
+  *    carry no near-dup signal) bounds the worst key. Kept uncapped
+  *    here for oracle parity at test SF.
+  *  - q12: MinHash signatures are computed in ONE groupBy with 32
+  *    min() aggregates (partial agg ⇒ one shuffle of 32 longs per
+  *    doc, not 32 passes); LSH banding turns the O(n²) pair space
+  *    into per-bucket joins.
+  */
+object TextPipeline {
+
+  private val SP = "\\s+"
+  /** Tokens of a trimmed document; empty doc → empty array (both
+    * engines: `CASE WHEN length(trim(text))=0 THEN []`). */
+  private def toks(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), SP))
+  private val toksSql =
+    "CASE WHEN length(trim(text))=0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
+
+  /** Exact dedup by content hash: canonical id + duplicate count per
+    * distinct text. Only the 32-char hash is shuffled. */
+  val q04 = Q(
+    "q04_dedup_exact",
+    """SELECT md5(text) AS h, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+      |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .orderBy(col("canonical_id"))
+  }
+
+  /** Token statistics per language (corpus accounting). */
+  val q05 = Q(
+    "q05_token_stats",
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       |  CAST(SUM(len($toksSql)) AS DOUBLE) / COUNT(*) AS avg_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("nc")).as("total_chars"),
+        (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def stopListSql = stopEn.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Per-document quality scoring: length/punctuation/stopword
+    * ratios + a boolean keep-flag — all exact int/int arithmetic so
+    * the DOUBLE ratios are bitwise-identical to the oracle. */
+  val q06 = Q(
+    "q06_quality_score",
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_t,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CASE WHEN length(text)=0 THEN NULL ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)/CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       |  CASE WHEN len($toksSql)=0 THEN NULL ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/CAST(len($toksSql) AS DOUBLE) END AS mean_word_len,
+       |  CASE WHEN len($toksSql)=0 THEN NULL ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopListSql, t))) AS DOUBLE)/CAST(len($toksSql) AS DOUBLE) END AS stopword_ratio,
+       |  (len($toksSql) >= 5 AND len($toksSql) <= 20000
+       |   AND CASE WHEN len($toksSql)=0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/CAST(len($toksSql) AS DOUBLE) END BETWEEN 2.0 AND 12.0) AS quality_ok
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nt = size(toks(col("text"))).cast("long")
+    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long")
+    val nWsFree = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val nStop = size(filter(toks(col("text")), t => t.isin(stopEn: _*))).cast("long")
+    val meanWl = when(nt === 0, lit(null)).otherwise(nWsFree.cast("double") / nt.cast("double"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_t"),
+      nt.as("n_tokens"),
+      nPunct.as("n_punct"),
+      when(length(col("text")) === 0, lit(null))
+        .otherwise(nPunct.cast("double") / length(col("text")).cast("long").cast("double")).as("punct_ratio"),
+      meanWl.as("mean_word_len"),
+      when(nt === 0, lit(null)).otherwise(nStop.cast("double") / nt.cast("double")).as("stopword_ratio"),
+      (nt >= 5 && nt <= 20000 &&
+        coalesce(meanWl, lit(0.0)).between(2.0, 12.0)).as("quality_ok")
+    ).orderBy(col("doc_id"))
+  }
+
+  /** Distinct word-3-gram shingles per document (shared by q07/q12). */
+  private[queries] def shingles(df: DataFrame): DataFrame = {
+    val w = toks(col("text"))
+    df.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i, lit(3))))).as("shingle"))
+      .distinct()
+  }
+  private val shinglesSql =
+    s"""words AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** N-gram Jaccard near-dup detection: shingle self-join →
+    * pairwise intersection counts → exact Jaccard ≥ 0.5. */
+  val q07 = Q(
+    "q07_shingle_jaccard",
+    s"""WITH $shinglesSql,
+       |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc1, doc2, common,
+       |  CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) AS jaccard
+       |FROM pairs JOIN cnt c1 ON doc1 = c1.doc_id JOIN cnt c2 ON doc2 = c2.doc_id
+       |WHERE CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5
+       |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("n1") + col("n2") - col("common")).cast("double")
+    pairs
+      .join(cnt.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+      .join(cnt.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+      .select(col("doc1"), col("doc2"), col("common"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "los", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+  private val langs = stopwords.keys.toSeq.sorted // de, en, es, fr, zh
+
+  /** Language ID by stopword-hit scoring with a deterministic
+    * alphabetical tiebreak (synthetic corpus ⇒ determinism, not
+    * accuracy, is the contract). */
+  val q11 = Q(
+    "q11_lang_id", {
+      val scoreSql = langs.map { l =>
+        val lst = stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter($toksSql, t -> list_contains($lst, t))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val caseSql =
+        """CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END""".stripMargin
+      s"""SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $caseSql AS predicted
+         |FROM (SELECT doc_id, lang,
+         |  $scoreSql
+         |FROM documents) ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val scored = Tables.documents(s, d).select(
+      col("doc_id") +: col("lang") +: langs.map { l =>
+        size(filter(toks(col("text")), t => t.isin(stopwords(l): _*)))
+          .cast("long").as(s"s_$l")
+      }: _*)
+    val p =
+      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+           col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+      .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_zh"), "en")
+      .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+      .when(col("s_fr") >= col("s_zh"), "fr")
+      .otherwise("zh")
+    scored.withColumn("predicted", p).orderBy(col("doc_id"))
+  }
+
+  /** Polynomial rolling-hash document fingerprint (Karp-Rabin style,
+    * base 31 mod 1e9+7 over codepoints) — pure codegen'd
+    * higher-order functions, no UDF. */
+  val q14 = Q(
+    "q14_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(list_filter(string_split(text, ''), c -> len(c) > 0),
+      |                   c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, b) -> (a*31 + b) % 1000000007) AS fp,
+      |  CAST(length(text) AS BIGINT) AS n_chars_t
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      aggregate(
+        transform(filter(split(col("text"), ""), c => length(c) > 0),
+          c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31L + x) % 1000000007L).as("fp"),
+      length(col("text")).cast("long").as("n_chars_t"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val MinhashPerms = 32
+  private val Bands = 8 // 8 bands x 4 rows
+
+  /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
+    * No oracle: signature values depend on Spark's xxhash64. The
+    * driver's rows-only check applies; the exact-Jaccard verification
+    * step is itself cross-checked by q07 (same threshold). */
+  val q12 = Q.noOracle("q12_minhash_lsh") { (s, d) =>
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val aggs = (0 until MinhashPerms)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val rowsPerBand = MinhashPerms / Bands
+    val bandCols = (0 until Bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    // verify candidates with exact Jaccard (candidate set is small)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc1"), col("shingle")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("shingle")), Seq("doc2", "shingle"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("doc1", "doc2"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(cnt.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+      .join(cnt.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+      .select(col("doc1"), col("doc2"), col("common"),
+        (col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** 64-bit SimHash per document + near-dup pairs (Hamming ≤ 6)
+    * found via 16-bit chunk banding. No oracle (xxhash64-dependent).
+    */
+  val q13 = Q.noOracle("q13_simhash_dup") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"), col("cnt"))
+    val bitContrib = tok
+      .select(col("doc_id"), col("h"), col("cnt"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .select(col("doc_id"), col("b"),
+        expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN cnt ELSE -cnt END").as("contrib"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("contrib")).as("sum_c"))
+    val sim = bitContrib
+      .select(col("doc_id"),
+        expr("CASE WHEN sum_c > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END").as("bit"))
+      .groupBy(col("doc_id")).agg(expr("bit_or(bit)").as("simhash"))
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c"),
+        expr("shiftright(simhash, c * 16) & 65535").as("chunk"))
+    val pairs = chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= 6)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  val all: Seq[Q] = Seq(q04, q05, q06, q07, q11, q12, q13, q14)
+}
