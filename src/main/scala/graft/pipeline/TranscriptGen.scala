@@ -36,11 +36,14 @@ object TranscriptGen {
 
   def fromDocuments(docs: DataFrame): DataFrame = {
     val isSkew = col("doc_id") % 20 === 19
-    // dense index among non-skew docs: doc_id minus #skew docs before it
-    val k = col("doc_id") - ((col("doc_id") + 1) / 20)
+    // dense index among non-skew docs: doc_id minus #skew docs before
+    // it (integer division — Spark's `/` on longs yields DOUBLE, so
+    // `DIV` is load-bearing here)
+    val k = expr("doc_id - ((doc_id + 1) DIV 20)")
     val convId = when(isSkew, lit("conv-skew"))
-      .otherwise(format_string("conv-%06d", (k / 4).cast("int")))
-    val turnIdx = when(isSkew, ((col("doc_id") - 19) / 20).cast("int"))
+      .otherwise(format_string("conv-%06d",
+        expr("(doc_id - ((doc_id + 1) DIV 20)) DIV 4").cast("int")))
+    val turnIdx = when(isSkew, expr("(doc_id - 19) DIV 20").cast("int"))
       .otherwise((k % 4).cast("int"))
     val role = element_at(array(lit("user"), lit("assistant"), lit("tool")),
       (turnIdx % 3) + 1)

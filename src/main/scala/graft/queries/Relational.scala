@@ -97,7 +97,7 @@ object Relational {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      .withColumn("turn_rank", row_number().over(w))
+      .withColumn("turn_rank", row_number().over(w).cast("long"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("gap_s",
         (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))

