@@ -88,8 +88,25 @@ final class Element(val tag: String) extends DomNode {
 
   def childElements: Seq[Element] = children.collect { case e: Element => e }.toSeq
 
+  /** Visit descendants pre-order (this element excluded) without
+    * iterator/Seq allocation per node — the selector-engine hot path. */
+  def walkElements(f: Element => Unit): Unit = {
+    var i = 0
+    while (i < children.length) {
+      children(i) match {
+        case e: Element => f(e); e.walkElements(f)
+        case _          => ()
+      }
+      i += 1
+    }
+  }
+
   /** Pre-order descendants, this element excluded. */
-  def descendants: Iterator[Element] = childElements.iterator.flatMap(e => Iterator(e) ++ e.descendants)
+  def descendants: Iterator[Element] = {
+    val b = List.newBuilder[Element]
+    walkElements(b += _)
+    b.result().iterator
+  }
 
   /** Ancestor chain, nearest first, excluding the synthetic root. */
   def ancestors: List[Element] = {

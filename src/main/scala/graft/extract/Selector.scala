@@ -26,8 +26,12 @@ object Selector {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, List[List[Compound]]]()
 
+  /** Parsed, pre-REVERSED complex selectors (rightmost compound
+    * first — the match order), cached per selector string. */
   private def parseList(selector: String): List[List[Compound]] = {
-    cache.computeIfAbsent(selector, s => s.split(",").toList.map(_.trim).filter(_.nonEmpty).map(parseComplex))
+    cache.computeIfAbsent(selector,
+      s => s.split(",").toList.map(_.trim).filter(_.nonEmpty)
+        .map(c => parseComplex(c).reverse))
   }
 
   private def parseComplex(s: String): List[Compound] = {
@@ -167,11 +171,15 @@ object Selector {
     }
 
   def select(scope: Element, selector: String): Seq[Element] = {
-    val complexes = parseList(selector).map(_.reverse)
+    val complexes = parseList(selector)
     if (complexes.isEmpty) return Nil
-    scope.descendants.filter(e => complexes.exists(matchesComplex(e, _, scope))).toSeq
+    val out = Seq.newBuilder[Element]
+    scope.walkElements { e =>
+      if (complexes.exists(matchesComplex(e, _, scope))) out += e
+    }
+    out.result()
   }
 
   def matches(e: Element, selector: String): Boolean =
-    parseList(selector).map(_.reverse).exists(matchesComplex(e, _, null))
+    parseList(selector).exists(matchesComplex(e, _, null))
 }

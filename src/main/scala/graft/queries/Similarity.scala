@@ -80,7 +80,7 @@ object Similarity {
       }
       bits.reduce((a, c) => a.bitwiseOR(c))
     }
-    val sig = e.withColumn("bucket", sigBit)
+    val sig = e.withColumn("bucket", sigBit).cache() // both join sides
     val p = sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),

@@ -115,7 +115,7 @@ object TextPipeline {
   }
 
   /** Distinct word-3-gram shingles per document (shared by q07/q12). */
-  private[queries] def shingles(df: DataFrame): DataFrame = {
+  private[graft] def shingles(df: DataFrame): DataFrame = {
     val w = toks(col("text"))
     df.select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 3)
@@ -244,13 +244,18 @@ object TextPipeline {
       val hs = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
     }
+    // cache: the bucket table is tiny (Bands rows per doc) and feeds
+    // BOTH sides of the self-join — without it the whole shingle →
+    // signature pipeline is recomputed per side
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .cache()
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
+      .cache() // reused by the verify join and the final output join
     // verify candidates with exact Jaccard (candidate set is small)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
@@ -282,10 +287,12 @@ object TextPipeline {
       .select(col("doc_id"), col("b"),
         expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN cnt ELSE -cnt END").as("contrib"))
       .groupBy(col("doc_id"), col("b")).agg(sum(col("contrib")).as("sum_c"))
+    // cache: one row per doc; feeds both sides of the chunk self-join
     val sim = bitContrib
       .select(col("doc_id"),
         expr("CASE WHEN sum_c > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END").as("bit"))
       .groupBy(col("doc_id")).agg(expr("bit_or(bit)").as("simhash"))
+      .cache()
     val chunks = sim.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .select(col("doc_id"), col("simhash"), col("c"),
