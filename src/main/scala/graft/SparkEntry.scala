@@ -13,7 +13,8 @@ import graft.queries.{Q, Relational, Similarity, TextPipeline}
 object SparkEntry {
 
   def registry: Seq[Q] =
-    Relational.all ++ TextPipeline.all ++ Similarity.all ++ pipeline.ExtractQueries.all
+    Relational.all ++ TextPipeline.all ++ Similarity.all ++
+      pipeline.ExtractQueries.all ++ pipeline.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

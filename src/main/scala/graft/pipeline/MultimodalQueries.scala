@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Q, Tables}
+
+/** Multimodal + checkpoint/resume operators as registry queries. */
+object MultimodalQueries {
+
+  /** Per-asset decoded features via the batched binary pipeline
+    * (decode itself is the marked stub; plumbing is real). Rows-only:
+    * the feature math lives in Scala. Output is per-asset and
+    * deterministic (sequential per-row fold). */
+  val q30 = Q.noOracle("q30_multimodal_features") { (s, d) =>
+    val assets = Multimodal.syntheticAssets(Tables.documents(s, d))
+    Multimodal.extractFeatures(s, assets)
+      .select(col("asset_id"), col("kind"), col("n_bytes"),
+        round(col("feature_norm"), 6).as("feature_norm"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Resize planning over binary assets — fully relational, so it
+    * carries an oracle (payload is 4 magic bytes + two md5 digests;
+    * dims are deterministic functions of the text). */
+  val q31 = Q(
+    "q31_multimodal_resize",
+    """SELECT asset_id, kind, target_width, target_height, n_bytes
+      |FROM (SELECT doc_id AS asset_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |  CAST(LEAST(16 + (length(text) % 1024), 256) AS INT) AS target_width,
+      |  CAST(LEAST(16 + ((length(text) * 31) % 768), 256) AS INT) AS target_height,
+      |  CAST(octet_length(unhex(
+      |    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '89504e47' WHEN 1 THEN '52494646' ELSE '00000018' END)
+      |    || md5(text) || md5(text || 'x'))) AS INT) AS n_bytes
+      |FROM documents) ORDER BY asset_id""".stripMargin) { (s, d) =>
+    Multimodal.resizePlan(
+        Multimodal.syntheticAssets(Tables.documents(s, d)), maxDim = 256)
+      .select(col("asset_id"), col("kind"), col("target_width"),
+        col("target_height"), col("n_bytes").cast("int").as("n_bytes"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Frame sampling for video assets: bounded sample-timestamp arrays. */
+  val q32 = Q.noOracle("q32_frame_sample") { (s, d) =>
+    Multimodal.frameSamplePlan(
+        Multimodal.syntheticAssets(Tables.documents(s, d)),
+        everyMs = 10000L, maxFrames = 8)
+      .select(col("asset_id"), size(col("sample_ts_ms")).cast("long").as("n_frames"),
+        col("sample_ts_ms"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Checkpoint/commit/read round-trip through the snapshot store:
+    * extraction committed in bucket groups with lineage + metrics,
+    * then read back from the snapshot chain. Result must equal the
+    * direct extraction (asserted in StoreSpec; rows-only here). */
+  val q33 = Q.noOracle("q33_checkpoint_roundtrip") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-q33").toString
+    val store = new ParquetSnapshotStore(dir)
+    val turns = TranscriptGen.fromDocuments(Tables.documents(s, d))
+    CheckpointedExtract.run(s, turns, store, buckets = 8, bucketsPerCommit = 4)
+    store.readData(s)
+      .select(col("conv_id"), col("turn_idx"), col("platform"),
+        col("text_content"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33)
+}

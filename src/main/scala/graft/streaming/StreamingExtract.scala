@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.ExtractJob
+
+/** Structured Streaming wrapper over the same extraction core
+  * (SURVEY.md §1.2 stretch goal): `readStream` of Turn-shaped
+  * micro-batches → per-turn extraction → windowed quality metrics
+  * with a watermark.
+  *
+  * The per-turn transform is identical to the batch path
+  * (ExtractJob.runTyped without the repartition — streaming
+  * micro-batches arrive already partitioned by the source), so batch
+  * and streaming outputs agree row-for-row; the watermark/window agg
+  * demonstrates the stateful side.
+  */
+object StreamingExtract {
+
+  /** Per-turn extraction on a streaming Dataset of turns. */
+  def extractStream(spark: SparkSession, turns: DataFrame): DataFrame = {
+    import spark.implicits._
+    turns.select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"))
+      .as[graft.pipeline.Turn]
+      .mapPartitions { it =>
+        val ex = new graft.extract.ExtractorSet
+        it.map(t => (t.ts, ExtractJob.extractTurn(ex, t, renderFormats = false)))
+      }
+      .select(col("_1").as("ts"), col("_2.*"))
+  }
+
+  /** Windowed per-platform extraction metrics with a watermark —
+    * append-mode-compatible (north-rule metrics, streaming flavor). */
+  def windowedMetrics(extracted: DataFrame): DataFrame =
+    extracted
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("platform"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        avg(col("metrics.boilerplate_ratio")).as("avg_boilerplate_ratio"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_errors"))
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def turns = TranscriptGen.fromDocuments(
+    spark.read.parquet(s"$sf/documents.parquet"))
+
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): Long =
+    df.agg(expr("bit_xor(xxhash64(conv_id, turn_idx, text_content))")).head.getLong(0)
+
+  test("commit/read round trip equals direct extraction") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetSnapshotStore(dir)
+    val snaps = CheckpointedExtract.run(spark, turns, store, buckets = 8, bucketsPerCommit = 4)
+    assert(snaps == Seq(0L, 1L))
+    assert(store.committedBuckets() == (0 until 8).toSet)
+    val direct = ExtractJob.run(spark, turns)
+    assert(store.readData(spark).count() == direct.count())
+    assert(fingerprint(store.readData(spark)) == fingerprint(direct))
+  }
+
+  test("resume: interrupted run completes from last snapshot, identical output") {
+    val dir = Files.createTempDirectory("graft-store-resume").toString
+    val store = new ParquetSnapshotStore(dir)
+    // simulate a crash after the first commit: only buckets 0-3
+    val firstHalf = turns.filter(
+      pmod(xxhash64(col("conv_id")), lit(8)).isin(0L, 1L, 2L, 3L))
+    val ext = ExtractJob.run(spark, firstHalf)
+    store.commit(ext, CheckpointedExtract.lineageOf(ext),
+      CheckpointedExtract.metricsOf(ext), Seq(0, 1, 2, 3))
+    assert(store.committedBuckets() == Set(0, 1, 2, 3))
+    // resumed run processes ONLY the remaining buckets
+    val snaps = CheckpointedExtract.run(spark, turns, store, buckets = 8, bucketsPerCommit = 4)
+    assert(snaps == Seq(1L))
+    assert(fingerprint(store.readData(spark)) == fingerprint(ExtractJob.run(spark, turns)))
+    // idempotent: a third run commits nothing
+    assert(CheckpointedExtract.run(spark, turns, store, buckets = 8).isEmpty)
+  }
+
+  test("lineage and metrics are committed alongside data") {
+    val dir = Files.createTempDirectory("graft-store-lineage").toString
+    val store = new ParquetSnapshotStore(dir)
+    CheckpointedExtract.run(spark, turns, store, buckets = 4, bucketsPerCommit = 4)
+    val lineage = spark.read.parquet(s"$dir/snapshot=0/_lineage")
+    val metrics = spark.read.parquet(s"$dir/snapshot=0/_metrics")
+    assert(lineage.agg(sum("n_rows")).head.getLong(0) == turns.count())
+    assert(metrics.select("platform").collect().map(_.getString(0)).toSet ==
+      Set("article", "forum", "weixin"))
+    assert(metrics.agg(sum("n_turns")).head.getLong(0) == turns.count())
+  }
+
+  test("no partial state visible without a commit") {
+    val dir = Files.createTempDirectory("graft-store-empty").toString
+    val store = new ParquetSnapshotStore(dir)
+    assert(store.currentSnapshot().isEmpty)
+    assert(store.committedBuckets().isEmpty)
+    intercept[IllegalArgumentException](store.readData(spark))
+  }
+}
