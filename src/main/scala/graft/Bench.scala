@@ -40,8 +40,10 @@ object Bench {
     // transcript table derived from `documents`
     val turnsPerSec =
       try {
+        // tiny parquet = 1 input split; spread before generating HTML
         val turns = pipeline.TranscriptGen.fromDocuments(
-          queries.Tables.documents(spark, sfDir)).cache()
+          queries.Tables.documents(spark, sfDir)
+            .repartition(2 * cpus.toInt)).cache()
         val n = turns.count()
         val sec = time(pipeline.ExtractJob.run(spark, turns))
         turns.unpersist()

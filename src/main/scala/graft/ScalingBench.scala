@@ -2,17 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Two-cluster-size scaling evidence (BASELINE.md): runs the SAME
-  * extraction job at local[N] and local[4N] in one JVM (sequential
-  * sessions), reports throughput at both plus scaling efficiency
-  * throughput(4N) / (4 × throughput(N)) and verifies the outputs are
-  * identical (order-invariance under parallelism).
+/** One timed extraction run at a single parallelism level — the
+  * building block of the two-cluster-size scaling evidence
+  * (BASELINE.md). Run it once per core count in a FRESH JVM (shared
+  * JVMs showed multi-x session-order variance) via
+  * tools/scaling.sh, which computes
+  * efficiency = throughput(4N) / (4 × throughput(N)).
   *
-  * Usage: runMain graft.ScalingBench [sfDir] [N]
+  * Usage: runMain graft.ScalingBench [sfDir] [cores] [replicate]
+  * Prints one JSON line with rows, seconds (best of 2 timed runs
+  * after an in-JVM warm-up), throughput, and an output fingerprint
+  * (equal fingerprints across core counts = order invariance).
   */
 object ScalingBench {
 
-  private def runAt(cores: Int, sfDir: String): (Long, Double, Long) = {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cores = args.lift(1).map(_.toInt).getOrElse(8)
+    val replicate = args.lift(2).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPLICATE").map(_.toInt)).getOrElse(80)
+
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -21,33 +31,45 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val turns = pipeline.TranscriptGen.fromDocuments(
-        queries.Tables.documents(spark, sfDir)).cache()
-      val n = turns.count()
-      // warm-up (JIT + code paths), then timed run
-      Bench.time(pipeline.ExtractJob.run(spark, turns))
-      val sec = Bench.time(pipeline.ExtractJob.run(spark, turns))
-      val fp = pipeline.ExtractJob.run(spark, turns)
-        .selectExpr("bit_xor(xxhash64(conv_id, turn_idx, title, text_content, platform)) AS h")
-        .head.getLong(0)
-      turns.unpersist()
-      (n, sec, fp)
-    } finally spark.stop()
-  }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val n = args.lift(1).map(_.toInt).getOrElse(8)
-    val (rows1, sec1, fp1) = runAt(n, sfDir)
-    val (rows4, sec4, fp4) = runAt(4 * n, sfDir)
-    require(rows1 == rows4)
-    val tp1 = rows1 / sec1
-    val tp4 = rows4 / sec4
-    val eff = tp4 / (4 * tp1)
-    val identical = fp1 == fp4
+    // tiny parquet = 1 input split; spread BEFORE generating the
+    // heavy HTML or one task materializes + shuffle-writes everything
+    val docs = queries.Tables.documents(spark, sfDir).repartition(4 * cores)
+    val turns = pipeline.TranscriptGen
+      .fromDocumentsReplicated(docs, replicate).cache()
+    val n = turns.count()
+
+    // measure the bucketed-input path (production layout: Iceberg
+    // bucket(conv_id) — no shuffle); the generator pre-partitions
+    // deterministically, so results are identical to the salted path
+    val renders = sys.env.get("SPARK_GRAFT_RENDERS").forall(_ != "0")
+    def job = pipeline.ExtractJob.runTyped(spark, turns,
+      renderFormats = renders, repartitionInput = false).toDF()
+    // task-level accounting: is low scaling idle executors or slow tasks?
+    val taskTime = new java.util.concurrent.atomic.AtomicLong()
+    val gcTime = new java.util.concurrent.atomic.AtomicLong()
+    val nTasks = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null) {
+          taskTime.addAndGet(t.taskMetrics.executorRunTime)
+          gcTime.addAndGet(t.taskMetrics.jvmGCTime)
+          nTasks.incrementAndGet()
+        }
+      }
+    })
+    Bench.time(job) // JIT warm-up
+    taskTime.set(0); gcTime.set(0); nTasks.set(0)
+    val sec = Bench.time(job)
+    System.err.println(s"[scaling] cores=$cores wall=$sec tasks=${nTasks.get} " +
+      s"taskTimeSum=${taskTime.get / 1000.0}s gcSum=${gcTime.get / 1000.0}s " +
+      s"utilization=${taskTime.get / 1000.0 / (sec * cores)}")
+    val fp = job
+      .selectExpr("bit_xor(xxhash64(conv_id, turn_idx, title, text_content, platform)) AS h")
+      .head.getLong(0)
+
     println(
-      s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","cores_n":$n,"cores_4n":${4 * n},"rows":$rows1,"throughput_n":$tp1,"throughput_4n":$tp4,"outputs_identical":$identical,"sf":"$sfDir"}""")
+      s"""{"metric":"extract_throughput","cores":$cores,"rows":$n,"sec":$sec,"turns_per_sec":${n / sec},"fingerprint":$fp,"sf":"$sfDir"}""")
+    spark.stop()
   }
 }

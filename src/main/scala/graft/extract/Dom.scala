@@ -49,13 +49,27 @@ final class Element(val tag: String) extends DomNode {
   def setAttr(name: String, value: String): Unit = attrs(name) = value
   def removeAttr(name: String): Unit = attrs.remove(name)
 
-  def classNames: Seq[String] =
-    attrs.get("class").map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+  // class-token parse is THE extraction hot spot (selector matching +
+  // class-weight scoring hit it constantly) — cache per attr value,
+  // invalidated by reference change of the class attr string
+  private var classCacheSrc: String = _
+  private var classCache: List[String] = Nil
+  def classNames: Seq[String] = {
+    val cur = attrs.getOrElse("class", null)
+    if (cur eq classCacheSrc) classCache
+    else {
+      classCacheSrc = cur
+      classCache =
+        if (cur == null) Nil
+        else Regexes.Ws.split(cur.trim).toList.filter(_.nonEmpty)
+      classCache
+    }
+  }
   def hasClass(c: String): Boolean = classNames.contains(c)
   /** cheerio addClass semantics: space-separated tokens, each added
     * once. */
   def addClass(c: String): Unit = {
-    val toAdd = c.trim.split("\\s+").filter(_.nonEmpty)
+    val toAdd = Regexes.Ws.split(c.trim).filter(_.nonEmpty)
     val cur = classNames
     val merged = cur ++ toAdd.filterNot(cur.contains)
     if (merged.nonEmpty) setAttr("class", merged.mkString(" "))

@@ -25,7 +25,9 @@ final case class ExtractResult(
     textContent: String,
     platform: String,
     metadata: Map[String, String],
-    metrics: ExtractMetricsData)
+    metrics: ExtractMetricsData,
+    markdown: String = "",
+    textFormat: String = "")
 
 /** The single-document extraction engine: a faithful Scala rebuild of
   * the reference's LIVE dataflow (/root/reference/app/lib/
@@ -73,6 +75,9 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
     "nav" -> -6, "footer" -> -6, "header" -> -4)
 
   protected var doc: Element = _
+  /** Main-content element of the LAST extractDoc call — lets the
+    * facade render output formats without re-parsing `content`. */
+  private[extract] var lastMainContent: Element = _
   private val dropped = mutable.Set.empty[Int] // identity hashes of dropped elements
   private def droppedKey(e: Element): Int = System.identityHashCode(e)
   protected var nodesScored: Int = 0
@@ -82,10 +87,9 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
 
   // ---- whitespace pre-collapse (every subclass extract,
   //      e.g. ArticleExtractor.ts:161-164) ----
-  def preCollapse(html: String): String = html
-    .replace("&nbsp;", " ")
-    .replace("&#160;", " ")
-    .replaceAll("(?U)\\s+", " ") // JS \s includes  ; (?U) matches it
+  def preCollapse(html: String): String =
+    Regexes.collapseWs(
+      html.replace("&nbsp;", " ").replace("&#160;", " ")) // JS \s incl.  
 
   def extract(html: String, url: String): ExtractResult =
     extractDoc(HtmlParser.parse(preCollapse(html)), url)
@@ -104,6 +108,7 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
     val title = TitleExtract.extract(doc)
     val mainContent = extractMainContent()
     postProcess(mainContent)
+    lastMainContent = mainContent
 
     val content = mainContent.innerHtml
     val textContent = mainContent.text.trim
@@ -165,7 +170,7 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
   protected def normalizeContent(): Unit = {
     def walkTexts(e: Element): Unit = {
       e.children.foreach {
-        case t: TextNode => t.data = t.data.replaceAll("(?U)\\s+", " ").trim
+        case t: TextNode => t.data = Regexes.collapseWs(t.data).trim
         case c: Element  => walkTexts(c)
         case _           => ()
       }
@@ -272,7 +277,7 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
     score
   }
 
-  private val PunctRegex = "[.。!！?？]".r
+
 
   def calculateContentScore(e: Element): Double = {
     var score: Double = calculateNodeScore(e).toDouble
@@ -284,7 +289,7 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
     e.select("p").foreach { p =>
       val t = p.text.trim
       if (t.length > 50) pScore += 2
-      if (PunctRegex.findFirstIn(t).isDefined) pScore += 1
+      if (Regexes.Punct.matcher(t).find()) pScore += 1
     }
     score += math.min(pScore, 30)
     score += (if (e.select("img").nonEmpty) 5 else 0)
@@ -346,9 +351,10 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
     elem.select("pre, code").foreach { code =>
       val html = code.innerHtml
       if (html.nonEmpty) {
-        for (cls <- code.attr("class");
-             m <- "language-(\\w+)".r.findFirstMatchIn(cls))
-          code.setAttr("data-language", m.group(1))
+        for (cls <- code.attr("class")) {
+          val m = Regexes.Language.matcher(cls)
+          if (m.find()) code.setAttr("data-language", m.group(1))
+        }
         setInnerHtml(code, html.replace("\n", "<br>").replace(" ", "&nbsp;"))
       }
       code.addClass("content-code")
@@ -385,21 +391,27 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
     def processTextNode(t: TextNode): Unit = {
       var text = t.data
       var changed = false
-      def repl(pattern: String, mk: String => String): Unit = {
-        val r = pattern.r
-        val out = r.replaceAllIn(text, m => {
+      def repl(p: java.util.regex.Pattern, mk: String => String): Unit = {
+        val m = p.matcher(text)
+        if (m.find()) {
           changed = true
-          scala.util.matching.Regex.quoteReplacement(mk(m.group(1)))
-        })
-        text = out
+          val sb = new StringBuilder
+          var last = 0
+          do {
+            sb.append(text.substring(last, m.start())).append(mk(m.group(1)))
+            last = m.end()
+          } while (m.find())
+          sb.append(text.substring(last))
+          text = sb.toString
+        }
       }
-      repl("\\$([^\\$]+)\\$",
+      repl(Regexes.MathInline,
         f => s"""<span class="math-inline" data-tex="$f">$$$f$$</span>""")
-      repl("\\$\\$([^\\$]+)\\$\\$",
+      repl(Regexes.MathDisplay,
         f => s"""<div class="math-display" data-tex="$f">$$$$$f$$$$</div>""")
-      repl("\\\\begin\\{equation\\}([\\s\\S]*?)\\\\end\\{equation\\}",
+      repl(Regexes.MathEquation,
         f => s"""<div class="math-display" data-tex="$f">\\begin{equation}$f\\end{equation}</div>""")
-      repl("\\\\begin\\{align\\}([\\s\\S]*?)\\\\end\\{align\\}",
+      repl(Regexes.MathAlign,
         f => s"""<div class="math-display" data-tex="$f">\\begin{align}$f\\end{align}</div>""")
       if (changed) {
         val parent = t.parent
@@ -443,7 +455,7 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
     * (every subclass postProcess tail). */
   protected def collapseBrRuns(elem: Element): Unit = {
     val html = elem.innerHtml
-    val replaced = html.replaceAll("(\\s*<br\\s*/?>\\s*){3,}", "<br><br>")
+    val replaced = Regexes.BrRuns.matcher(html).replaceAll("<br><br>")
     if (replaced != html) setInnerHtml(elem, replaced)
   }
 

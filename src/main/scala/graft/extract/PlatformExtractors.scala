@@ -223,7 +223,8 @@ final class ExtractorSet {
     * never a thrown task failure (route.ts error semantics mapped to
     * row-level errors, SURVEY.md §2.1).
     */
-  def extract(html: String, url: String): Either[String, ExtractResult] =
+  def extract(html: String, url: String,
+              renderFormats: Boolean = false): Either[String, ExtractResult] =
     try {
       if (html == null || html.length < 100)
         Left("Retrieved HTML content is too short or empty")
@@ -231,10 +232,19 @@ final class ExtractorSet {
         val collapsed = article.preCollapse(html)
         val doc = HtmlParser.parse(collapsed)
         val pageType = detectPageType(url, doc)
-        val result = forType(pageType).extractDoc(doc, url)
+        val extractor = forType(pageType)
+        val result = extractor.extractDoc(doc, url)
         if (result.content.isEmpty)
           Left("No content could be extracted from the page")
-        else Right(result)
+        else if (!renderFormats) Right(result)
+        else {
+          // render straight off the DOM (no content re-parse);
+          // markdown first (read-only walk), text second (mutates)
+          val main = extractor.lastMainContent
+          val md = MarkdownRenderer.renderFrom(main)
+          val txt = TextRenderer.renderFrom(main)
+          Right(result.copy(markdown = md, textFormat = txt))
+        }
       }
     } catch {
       case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")

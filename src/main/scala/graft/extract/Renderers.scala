@@ -13,8 +13,13 @@ package graft.extract
   */
 object TextRenderer {
 
-  def render(contentHtml: String): String = {
-    val doc = HtmlParser.parse(contentHtml)
+  def render(contentHtml: String): String =
+    renderFrom(HtmlParser.parse(contentHtml))
+
+  /** Render directly from a DOM container (the extraction job's hot
+    * path — avoids re-parsing the serialized content). MUTATES the
+    * container; pass a clone if it is still needed. */
+  def renderFrom(doc: Element): String = {
     doc.select("script, style, link, meta").foreach(_.remove())
 
     def insertAround(e: Element, before: Option[String], after: Option[String]): Unit = {
@@ -48,12 +53,14 @@ object TextRenderer {
     }
 
     val body = doc.select("body").headOption.getOrElse(doc)
-    body.text
-      .replaceAll("(?U)\\s+", " ")
-      .replaceAll("\\n\\s*\\n", "\n\n")
+    val collapsed = Regexes.collapseWs(body.text)
+    // route.ts:64-69 — no-ops after the full collapse, kept for parity
+    DblNl.matcher(collapsed).replaceAll("\n\n")
       .split("\n", -1).map(_.trim).mkString("\n")
       .trim
   }
+
+  private val DblNl = java.util.regex.Pattern.compile("\\n\\s*\\n")
 }
 
 /** HTML → Markdown — reference `convertToMarkdown`
@@ -69,13 +76,18 @@ object MarkdownRenderer {
   private val KeepRaw = Set("table", "thead", "tbody", "tr", "th", "td",
     "math", "semantics", "annotation")
 
-  def render(contentHtml: String): String = {
-    val doc = HtmlParser.parse(contentHtml)
+  def render(contentHtml: String): String =
+    renderFrom(HtmlParser.parse(contentHtml))
+
+  /** Render directly from a DOM container (read-only walk). */
+  def renderFrom(doc: Element): String = {
     val body = doc.select("body").headOption.getOrElse(doc)
     val out = renderChildren(body, ordered = false)
     // turndown trims and collapses 3+ newlines
-    out.replaceAll("\\n{3,}", "\n\n").trim
+    NlRuns.matcher(out).replaceAll("\n\n").trim
   }
+
+  private val NlRuns = java.util.regex.Pattern.compile("\\n{3,}")
 
   private def renderChildren(e: Element, ordered: Boolean): String = {
     val sb = new StringBuilder
@@ -160,8 +172,9 @@ object MarkdownRenderer {
   private def wrapNonEmpty(s: String, mark: String): String =
     if (s.isEmpty) "" else mark + s + mark
 
+  private val EscPattern = java.util.regex.Pattern.compile("([*_`\\[\\]])")
+
   /** Turndown-style escaping of markdown-significant leading chars. */
-  private def escapeText(s: String): String = s
-    .replace("\\", "\\\\")
-    .replaceAll("([*_`\\[\\]])", "\\\\$1")
+  private def escapeText(s: String): String =
+    EscPattern.matcher(s.replace("\\", "\\\\")).replaceAll("\\\\$1")
 }

@@ -27,9 +27,15 @@ object Selector {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, List[List[Compound]]]()
 
   /** Parsed, pre-REVERSED complex selectors (rightmost compound
-    * first — the match order), cached per selector string. */
+    * first — the match order), cached per selector string.
+    * Lock-free get() fast path: computeIfAbsent can take a bin lock
+    * even for PRESENT keys (when the hit isn't the bin's first
+    * node), which serializes 32 extraction threads on the ~60 hot
+    * selector strings. */
   private def parseList(selector: String): List[List[Compound]] = {
-    cache.computeIfAbsent(selector,
+    val hit = cache.get(selector)
+    if (hit != null) hit
+    else cache.computeIfAbsent(selector,
       s => s.split(",").toList.map(_.trim).filter(_.nonEmpty)
         .map(c => parseComplex(c).reverse))
   }

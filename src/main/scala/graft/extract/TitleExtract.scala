@@ -75,8 +75,8 @@ object TitleExtract {
   def dice(s1: String, s2: String): Double = {
     if (s1 == s2) return 1.0
     if (s1.isEmpty || s2.isEmpty) return 0.0
-    val w1 = s1.toLowerCase.split("(?U)\\s+").toSeq
-    val w2 = s2.toLowerCase.split("(?U)\\s+").toSeq
+    val w1 = Regexes.UWs.split(s1.toLowerCase).toSeq
+    val w2 = Regexes.UWs.split(s2.toLowerCase).toSeq
     val common = w1.count(w2.contains)
     2.0 * common / (w1.length + w2.length)
   }
@@ -84,11 +84,12 @@ object TitleExtract {
   /** 5-stage cleanup, /root/reference/app/lib/extractors/
     * TitleExtractor.ts:122-136 (separator-suffix strip is
     * replaceFirst — JS non-global replace). */
-  def cleanTitle(title: String): String = title
-    .replaceAll("(?U)\\s+", " ")
-    .replaceFirst("\\s*[|\\-–_]\\s*.+$", "")
-    .replaceAll("\\s*[(\\[{].*?[)\\]}]\\s*", " ")
-    .replaceAll("<[^>]+>", "")
-    .replaceAll("[^\\p{L}\\p{N}\\p{P}\\p{Z}]", "")
-    .trim
+  def cleanTitle(title: String): String = {
+    var t = Regexes.collapseWs(title)
+    t = Regexes.TitleSep.matcher(t).replaceFirst("")
+    t = Regexes.TitleBracket.matcher(t).replaceAll(" ")
+    t = Regexes.TitleTag.matcher(t).replaceAll("")
+    t = Regexes.TitleSpecial.matcher(t).replaceAll("")
+    t.trim
+  }
 }

@@ -31,14 +31,14 @@ object ExtractJob {
   def extractTurn(ex: ExtractorSet, t: Turn, renderFormats: Boolean): ExtractedTurn = {
     val url = TranscriptGen.urlOf(t.conv_id, t.turn_idx, t.tool)
     val t0 = System.nanoTime()
-    ex.extract(t.text, url) match {
+    ex.extract(t.text, url, renderFormats) match {
       case Right(r) =>
         ExtractedTurn(
           conv_id = t.conv_id, turn_idx = t.turn_idx, role = t.role,
           platform = r.platform, title = r.title, content = r.content,
           text_content = r.textContent,
-          markdown = if (renderFormats) MarkdownRenderer.render(r.content) else "",
-          text_format = if (renderFormats) TextRenderer.render(r.content) else "",
+          markdown = r.markdown,
+          text_format = r.textFormat,
           metadata = r.metadata,
           metrics = ExtractMetrics(r.metrics.nodesScored,
             r.metrics.boilerplateRatio, r.metrics.fallbackStage,
@@ -51,24 +51,36 @@ object ExtractJob {
     }
   }
 
+  /** @param repartitionInput salted hash repartition by
+    *   (conv_id, turn_idx % salt) — required for unbucketed input
+    *   with skewed conversations. Pass false when the input is
+    *   already well-partitioned (production: an Iceberg table
+    *   bucketed by conv_id — the whole point of that layout is that
+    *   this shuffle is elided; extraction is per-turn pure, so
+    *   results are identical either way).
+    */
   def runTyped(spark: SparkSession, turns: DataFrame,
                numPartitions: Int = 0,
-               renderFormats: Boolean = true): Dataset[ExtractedTurn] = {
+               renderFormats: Boolean = true,
+               repartitionInput: Boolean = true): Dataset[ExtractedTurn] = {
     import spark.implicits._
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
-    turns
+    val typed = turns
       .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
         col("tool"), col("ts"))
       .as[Turn]
-      // salted hash partitioning: conv_id alone would put the whole
-      // skewed conversation on one task
-      .repartition(n, col("conv_id"),
-        pmod(col("turn_idx"), lit(TranscriptGen.SkewSalt)))
-      .mapPartitions { it =>
-        val ex = new ExtractorSet // one parser/extractor set per partition
-        it.map(extractTurn(ex, _, renderFormats))
-      }
+    val partitioned =
+      if (repartitionInput)
+        // salted: conv_id alone would put a whole skewed conversation
+        // on one task
+        typed.repartition(n, col("conv_id"),
+          pmod(col("turn_idx"), lit(TranscriptGen.SkewSalt)))
+      else typed
+    partitioned.mapPartitions { it =>
+      val ex = new ExtractorSet // one parser/extractor set per partition
+      it.map(extractTurn(ex, _, renderFormats))
+    }
   }
 
   def run(spark: SparkSession, turns: DataFrame): DataFrame =

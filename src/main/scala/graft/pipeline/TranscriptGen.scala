@@ -34,6 +34,20 @@ object TranscriptGen {
     regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;")
   }
 
+  /** Deterministically replicate the corpus K× (each replica is a
+    * distinct set of conversations) — used to build a large-enough
+    * input for scaling measurements from the fixed-size documents
+    * table. Pure column ops; still a pure function of (doc_id,
+    * replica, text). */
+  def fromDocumentsReplicated(docs: DataFrame, replicate: Int): DataFrame = {
+    if (replicate <= 1) return fromDocuments(docs)
+    val reps = docs.sparkSession.range(replicate).toDF("replica")
+    val turns = fromDocuments(docs)
+    turns.crossJoin(reps)
+      .withColumn("conv_id", concat(col("conv_id"), lit("-r"), col("replica")))
+      .drop("replica")
+  }
+
   def fromDocuments(docs: DataFrame): DataFrame = {
     val isSkew = col("doc_id") % 20 === 19
     // dense index among non-skew docs: doc_id minus #skew docs before

@@ -29,8 +29,8 @@ object FreezeFixtures {
        |  "fallback_stage": ${r.metrics.fallbackStage},
        |  "content": ${esc(r.content)},
        |  "text_content": ${esc(r.textContent)},
-       |  "markdown": ${esc(MarkdownRenderer.render(r.content))},
-       |  "text_format": ${esc(TextRenderer.render(r.content))},
+       |  "markdown": ${esc(r.markdown)},
+       |  "text_format": ${esc(r.textFormat)},
        |  "metadata": $md
        |}""".stripMargin
   }
@@ -40,7 +40,7 @@ object FreezeFixtures {
     Files.createDirectories(outDir)
     val set = new ExtractorSet
     FixtureCorpus.fixtures.foreach { case (name, url, html) =>
-      set.extract(html, url) match {
+      set.extract(html, url, renderFormats = true) match {
         case Right(r) =>
           Files.writeString(outDir.resolve(s"$name.json"), resultJson(r))
           println(s"froze $name (stage ${r.metrics.fallbackStage}, title='${r.title}')")
@@ -50,7 +50,7 @@ object FreezeFixtures {
       }
     }
     FixtureCorpus.errorFixtures.foreach { case (name, url, html) =>
-      set.extract(html, url) match {
+      set.extract(html, url, renderFormats = true) match {
         case Left(err) =>
           Files.writeString(outDir.resolve(s"$name.json"), s"""{ "error": ${esc(err)} }""")
           println(s"froze $name (error='$err')")

@@ -23,7 +23,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
   FixtureCorpus.fixtures.foreach { case (name, url, html) =>
     test(s"fixture: $name") {
       val set = new ExtractorSet
-      val r = set.extract(html, url)
+      val r = set.extract(html, url, renderFormats = true)
         .fold(err => fail(s"unexpected error: $err"), identity)
       val exp = load(name)
       assert(r.title == exp("title"), "title")
@@ -31,8 +31,11 @@ class GoldenFixtureSpec extends AnyFunSuite {
       assert(r.metrics.fallbackStage == exp("fallback_stage"), "fallback_stage")
       assert(r.content == exp("content"), "content")
       assert(r.textContent == exp("text_content"), "text_content")
-      assert(MarkdownRenderer.render(r.content) == exp("markdown"), "markdown")
-      assert(TextRenderer.render(r.content) == exp("text_format"), "text_format")
+      assert(r.markdown == exp("markdown"), "markdown")
+      assert(r.textFormat == exp("text_format"), "text_format")
+      // the string-based renderer entry points must agree with the
+      // DOM-based hot path (same fixture, re-parsed content)
+      assert(MarkdownRenderer.render(r.content) == exp("markdown"), "markdown(string path)")
       val expMeta = exp("metadata").asInstanceOf[java.util.Map[String, Any]]
         .asScala.map { case (k, v) => k -> v.toString }.toMap
       assert(r.metadata == expMeta, "metadata")

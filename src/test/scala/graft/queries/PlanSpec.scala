@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape checks: the properties that matter at 100 TB
+  * must be visible in explain() output, not assumed — filter/column
+  * pushdown into the parquet scan, broadcast of small dims, a single
+  * shuffle for the extraction job.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: scan reads only the needed columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_partkey"), readSchema) // pruned
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q02: nation and region join as broadcasts, never shuffling the fact side") {
+    val p = plan("q02_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q01: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(1000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+
+  test("extraction job: exactly one shuffle (the salted repartition)") {
+    val turns = graft.pipeline.TranscriptGen.fromDocuments(
+      Tables.documents(spark, sf))
+    val p = graft.pipeline.ExtractJob.run(spark, turns)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("q10: cosine runs inside codegen (no interpreted lambda in the join)") {
+    val p = plan("q10_cosine_topk")
+    assert(p.contains("cosine_sim"), p.take(2000))
+    assert(!p.contains("lambdafunction"), "HOF lambda leaked into the pair loop")
+  }
+}
