@@ -29,6 +29,9 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // trade memory for per-run decompress CPU on the cached corpus
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESSED", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

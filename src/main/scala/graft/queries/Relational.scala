@@ -144,5 +144,44 @@ object Relational {
       .orderBy(col("user_id"), col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q08, q09)
+  /** Sessionization: split each user's event stream at >30-min gaps
+    * (two stacked windows over the same (user_id, ts) ordering — one
+    * shuffle), then per-session rollup.
+    */
+  val q16 = Q(
+    "q16_sessionize",
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts, value,
+      |      CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+      |           WHEN DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800 THEN 1
+      |           ELSE 0 END AS is_new
+      |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(w).isNull, 1L)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q08, q09, q16)
 }
