@@ -53,6 +53,30 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: every unordered pair with
+    * cosine ≥ 0.3 (threshold-based dedup flavor, vs q10's top-k). */
+  val q17 = Q(
+    "q17_cosine_near_dup",
+    """WITH e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2, ROUND(
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |           z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (a.nrm*b.nrm), 6) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (a.nrm*b.nrm) >= 0.3
+      |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cosine(s, col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   private val SigBits = 12
 
   /** Deterministic pseudo-random hyperplane component: a fixed
@@ -92,5 +116,5 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(q10, q15)
+  val all: Seq[Q] = Seq(q10, q15, q17)
 }
