@@ -43,14 +43,16 @@ object HtmlParser {
     val stack = ArrayBuffer[Element](root)
     val n = html.length
     var i = 0
-    val text = new StringBuilder
+    // java StringBuilder: has append(CharSequence, start, end) — the
+    // Scala one would auto-tuple a 3-arg append into append(Any)
+    val text = new java.lang.StringBuilder
 
     def cur: Element = stack.last
 
     def flushText(): Unit = {
-      if (text.nonEmpty) {
+      if (text.length > 0) {
         cur.appendChild(new TextNode(Entities.decode(text.toString)))
-        text.clear()
+        text.setLength(0)
       }
     }
 
@@ -94,7 +96,14 @@ object HtmlParser {
 
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<' && i + 1 < n) {
+      if (c != '<') {
+        // bulk-copy the whole text run (per-char append dominated
+        // the parse profile)
+        val nxt = html.indexOf('<', i)
+        val end = if (nxt < 0) n else nxt
+        text.append(html, i, end)
+        i = end
+      } else if (i + 1 < n) {
         val c1 = html.charAt(i + 1)
         if (c1 == '!') {
           flushText()
