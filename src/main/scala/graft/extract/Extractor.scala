@@ -12,7 +12,13 @@ final case class ExtractOptions(
     minTextLength: Int = 25,
     retryLength: Int = 250,
     includeComments: Boolean = false,
-    minScore: Int = 20)
+    minScore: Int = 20,
+    /** NON-PARITY mode: run the six stage-1 content probes the
+      * reference *intended* (BaseExtractor.ts:605-634 — its XPath→CSS
+      * rewrite produces invalid selectors, the catch swallows the
+      * error, and stage 1 always yields null). Default false =
+      * bug-compatible no-op stage 1. */
+    fixedXpathStage: Boolean = false)
 
 final case class ExtractMetricsData(
     nodesScored: Int,
@@ -206,7 +212,17 @@ class BaseExtractor(val options: ExtractOptions = ExtractOptions(),
   // ---- main-content cascade (BaseExtractor.ts:210-242) ----
 
   protected def extractMainContent(): Element = {
-    // stage 1 (XPath) is a live no-op — see class doc
+    // stage 1 (XPath) is a live no-op in parity mode — see class doc.
+    // With fixedXpathStage on, run the evident intent of the six
+    // probes (CSS equivalents of BaseExtractor.ts:609-616).
+    if (options.fixedXpathStage) {
+      for (sel <- Selectors.FixedXpathProbes) {
+        doc.select(sel).headOption match {
+          case Some(e) if isValidContent(e) => fallbackStage = 1; return e
+          case _                            => ()
+        }
+      }
+    }
     for (sel <- getCustomSelectors) {
       doc.select(sel).headOption match {
         case Some(e) if isValidContent(e) => fallbackStage = 2; return e

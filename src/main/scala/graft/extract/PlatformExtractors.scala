@@ -3,8 +3,9 @@ package graft.extract
 /** Article extractor — /root/reference/app/lib/extractors/
   * ArticleExtractor.ts (live path only; preProcess is dead code).
   */
-class ArticleExtractor extends BaseExtractor(
-    ExtractOptions(minTextLength = 150, minScore = 25), "article") {
+class ArticleExtractor(fixedXpath: Boolean = false) extends BaseExtractor(
+    ExtractOptions(minTextLength = 150, minScore = 25,
+      fixedXpathStage = fixedXpath), "article") {
 
   override protected def getCustomSelectors: Seq[String] = Selectors.ArticleCustom
 
@@ -93,9 +94,9 @@ class ArticleExtractor extends BaseExtractor(
   * content passes through unchanged; the conversation-level analogue
   * is graft.pipeline.Reassembly.
   */
-class ForumExtractor extends BaseExtractor(
-    ExtractOptions(minTextLength = 50, minScore = 15, includeComments = true),
-    "forum") {
+class ForumExtractor(fixedXpath: Boolean = false) extends BaseExtractor(
+    ExtractOptions(minTextLength = 50, minScore = 15, includeComments = true,
+      fixedXpathStage = fixedXpath), "forum") {
 
   override protected def getCustomSelectors: Seq[String] = Selectors.ForumCustom
 
@@ -143,8 +144,9 @@ class ForumExtractor extends BaseExtractor(
   * WeixinExtractor.ts (live path; the weixin-specific preProcess
   * noise removal is dead code).
   */
-class WeixinExtractor extends BaseExtractor(
-    ExtractOptions(minTextLength = 100, minScore = 20), "weixin") {
+class WeixinExtractor(fixedXpath: Boolean = false) extends BaseExtractor(
+    ExtractOptions(minTextLength = 100, minScore = 20,
+      fixedXpathStage = fixedXpath), "weixin") {
 
   override protected def getCustomSelectors: Seq[String] = Selectors.WeixinCustom
 
@@ -199,15 +201,27 @@ class WeixinExtractor extends BaseExtractor(
   * collapsed parse is semantically equivalent — and halves parse
   * cost, the dominant per-turn expense.
   */
-final class ExtractorSet {
-  val article = new ArticleExtractor
-  val forum = new ForumExtractor
-  val weixin = new WeixinExtractor
+final class ExtractorSet(fixedXpath: Boolean = false) {
+  val article = new ArticleExtractor(fixedXpath)
+  val forum = new ForumExtractor(fixedXpath)
+  val weixin = new WeixinExtractor(fixedXpath)
 
   def forType(t: String): BaseExtractor = t match {
     case "weixin" => weixin
     case "forum"  => forum
     case _        => article
+  }
+
+  /** URL-only dispatch (ExtractorFactory.ts:48-61
+    * `getExtractorByUrl`) — used when no HTML payload is available
+    * (e.g. routing rows with null/short `text`). Note the reference's
+    * url-only forum keyword list drops `topic` (present in
+    * detectPageType's url check, route.ts:157-161) — replicated. */
+  def forUrl(url: String): BaseExtractor = {
+    if (url.contains("mp.weixin.qq.com")) weixin
+    else if (url.contains("forum") || url.contains("bbs") ||
+             url.contains("thread")) forum
+    else article
   }
 
   /** route.ts:130-166 */

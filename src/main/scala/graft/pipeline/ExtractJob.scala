@@ -90,16 +90,59 @@ object ExtractJob {
 /** Per-conversation reassembly in stable (conv_id, turn_idx) order —
   * the table-scale analogue of the reference's forum-thread
   * reorganization (ForumExtractor.ts:245-273; SURVEY.md §2.8).
-  * sort_array(collect_list(struct(...))) gives a deterministic
-  * per-conversation document regardless of partitioning.
+  *
+  * Memory-bounded two-level aggregation: a flat
+  * `collect_list(struct(turn_idx, text))` per conv_id would build one
+  * unbounded array on a single reducer for a pathological
+  * conversation (the generator deliberately routes ~5% of all rows to
+  * `conv-skew`; at 10^9 turns that is an executor OOM). Instead:
+  *
+  *   level 1: group by (conv_id, turn_idx DIV chunkSize) — each
+  *     collect_list buffer is bounded by chunkSize turns, and a
+  *     skewed conversation's chunks hash to MANY reducers;
+  *   level 2: group by conv_id over the (ordered, pre-concatenated)
+  *     chunk strings — the buffer holds n_turns/chunkSize strings,
+  *     not n_turns structs.
+  *
+  * `turn_idx DIV chunkSize` is an order-aligned bucketing (every
+  * turn_idx in chunk i sorts before every turn_idx in chunk i+1) and
+  * concat_ws with a fixed separator over non-null strings is
+  * associative, so the chunked result is identical to the flat one
+  * for ANY chunkSize (property-tested in PipelineSpec). The residual
+  * cost — the output row itself is conversation-sized — is inherent
+  * to the operator's contract; callers needing bounded rows consume
+  * the level-1 chunk table instead ([[conversationChunks]]).
   */
 object Reassembly {
-  def conversations(extracted: DataFrame): DataFrame =
-    extracted.groupBy(col("conv_id")).agg(
-      count(lit(1)).as("n_turns"),
-      concat_ws("\n\n",
-        transform(
-          array_sort(collect_list(struct(col("turn_idx"), col("text_content")))),
-          x => x.getField("text_content"))).as("conversation_text"),
-      sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_errors"))
+  val DefaultChunkSize = 8192
+
+  private def chunkCol(chunkSize: Int) =
+    expr(s"CAST(turn_idx AS BIGINT) DIV $chunkSize")
+
+  /** Level 1: bounded per-chunk reassembly — one row per
+    * (conv_id, chunk), each covering ≤ chunkSize turns. */
+  def conversationChunks(extracted: DataFrame,
+                         chunkSize: Int = DefaultChunkSize): DataFrame =
+    extracted
+      .groupBy(col("conv_id"), chunkCol(chunkSize).as("chunk"))
+      .agg(
+        count(lit(1)).as("n_turns_c"),
+        concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("text_content")))),
+            x => x.getField("text_content"))).as("chunk_text"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_errors_c"))
+
+  /** Level 2: full per-conversation document from ordered chunks. */
+  def conversations(extracted: DataFrame,
+                    chunkSize: Int = DefaultChunkSize): DataFrame =
+    conversationChunks(extracted, chunkSize)
+      .groupBy(col("conv_id"))
+      .agg(
+        sum(col("n_turns_c")).as("n_turns"),
+        concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(struct(col("chunk"), col("chunk_text")))),
+            x => x.getField("chunk_text"))).as("conversation_text"),
+        sum(col("n_errors_c")).as("n_errors"))
 }

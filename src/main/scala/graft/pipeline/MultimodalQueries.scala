@@ -39,13 +39,25 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
-  /** Frame sampling for video assets: bounded sample-timestamp arrays. */
-  val q32 = Q.noOracle("q32_frame_sample") { (s, d) =>
+  /** Frame sampling for video assets: bounded sample-timestamp arrays,
+    * flattened to a comma-joined string so the driver's pandas compare
+    * (and the DuckDB oracle) can hash it — the sampling plan is pure
+    * arithmetic over (doc_id, n_chars). */
+  val q32 = Q(
+    "q32_frame_sample",
+    """SELECT asset_id, CAST(len(ts_l) AS BIGINT) AS n_frames,
+      |  array_to_string(list_transform(ts_l, x -> CAST(x AS VARCHAR)), ',') AS sample_ts
+      |FROM (SELECT doc_id AS asset_id,
+      |        (range(0, CAST((n_chars * 997) % 600000 AS BIGINT) + 1, 10000))[1:8] AS ts_l
+      |      FROM documents WHERE doc_id % 3 = 2)
+      |ORDER BY asset_id""".stripMargin) { (s, d) =>
     Multimodal.frameSamplePlan(
         Multimodal.syntheticAssets(Tables.documents(s, d)),
         everyMs = 10000L, maxFrames = 8)
-      .select(col("asset_id"), size(col("sample_ts_ms")).cast("long").as("n_frames"),
-        col("sample_ts_ms"))
+      .select(col("asset_id"),
+        size(col("sample_ts_ms")).cast("long").as("n_frames"),
+        array_join(transform(col("sample_ts_ms"), _.cast("string")), ",")
+          .as("sample_ts"))
       .orderBy(col("asset_id"))
   }
 

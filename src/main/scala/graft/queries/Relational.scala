@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.DecimalType
   *    broadcast (never shuffle the fact table for a 25-row dim).
   *  - q03/q09: single window shuffle on the partition key; no extra
   *    sort since the window sort covers the output order per key.
-  *  - q08: collect_list is bounded by conversation length (≤ a few
-  *    thousand turns); for pathological conversations the typed
-  *    Aggregator in graft.pipeline.Reassembly memory-bounds it.
+  *  - q08: collect_list here is bounded by per-user event counts (the
+  *    events table has no pathological key); the extraction-side
+  *    reassembly, where the generator deliberately skews one
+  *    conversation, uses the memory-bounded two-level chunked
+  *    aggregation in graft.pipeline.Reassembly instead.
   */
 object Relational {
 

@@ -77,40 +77,127 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
-  private val SigBits = 12
+  /** Number of independent LSH hash tables OR'd for recall (the
+    * multi-band construction — a true near neighbor is missed only if
+    * it disagrees with the query in EVERY band). 24 bands because the
+    * test corpus's true top-3 neighbors are WEAK (median cosine 0.33
+    * ⇒ per-hyperplane agreement ~0.61): analytic recall at 4 bits is
+    * 0.45 @4 bands, 0.91 @16, 0.97 @24. On a real near-dup corpus
+    * (sim ≥ 0.8) 4 bands would suffice. */
+  private val AnnBands = 24
 
-  /** Deterministic pseudo-random hyperplane component: a fixed
-    * integer-hash-derived value in [-1, 1); pure column arithmetic so
-    * the signature is reproducible anywhere (no RNG state). */
-  private def hyper(bit: Int, j: Column): Column =
-    (pmod(lit(bit.toLong) * 2654435761L + j * 40503L, lit(65536L)).cast("double")
-      / 32768.0) - 1.0
+  /** Signature bits per band as a function of input size n:
+    * ceil(log2(n/128)) clamped to [4,16] — expected bucket occupancy
+    * stays ~128 vectors regardless of n, so candidate pairs are
+    * O(n·128·bands), never quadratic (round 1 fixed 12 bits: 4,096
+    * buckets would go quadratic again at 10^9 vectors). As n grows,
+    * bits grow and a FIXED-similarity pair's collision odds drop —
+    * but the true top-k of each vector also get nearer (denser
+    * space), which is the standard LSH scaling argument.
+    * Computed with pure INTEGER arithmetic (64-nlz == LENGTH(BIN(x))
+    * == floor(log2(x))+1) so the Spark literal and the oracle's SQL
+    * agree with no float-boundary risk. */
+  private def annBits(n: Long): Int = {
+    val x = math.max((n - 1) / 128, 1L)
+    math.max(4, math.min(16, 64 - java.lang.Long.numberOfLeadingZeros(x)))
+  }
+  private val annBitsSql =
+    "SELECT LEAST(16, GREATEST(4, LENGTH(BIN(GREATEST((COUNT(*)-1)//128, 1))))) AS bits FROM embeddings"
 
-  /** LSH-bucketed approximate NN: 12-bit random-hyperplane signature,
-    * exact cosine within buckets only. Rows-only check (bucketing is
-    * engine-side logic; exact-cosine math is oracle-covered by q10).
+  /** Deterministic pseudo-random hyperplane component for global
+    * hyperplane index g (= band*bits + bit) and dimension j: a fixed
+    * integer-hash-derived value in ~[-1, 1); pure column arithmetic
+    * so the signature is reproducible anywhere (no RNG state) and
+    * mirrorable in the DuckDB oracle. The QUADRATIC term is
+    * load-bearing: an affine (g,j)-hash is linear in j mod m, which
+    * correlates hyperplanes across dimensions and measurably hurts
+    * recall. v ≤ g·65536+dim < 2^26 ⇒ v² < 2^52: no overflow in
+    * either engine. */
+  private def hyper(g: Int, j: Column): Column = {
+    val v = lit(g * 65536L + 1L) + j
+    ((((v * v) % 65521L) * 40503L + v * 12289L) % 65521L).cast("double") / 32768.0 - 1.0
+  }
+
+  private val q15Sql: String = {
+    // proj ≥ 0 must decide identically in both engines: both sides
+    // compute a strict LEFT FOLD over doubles (Spark `aggregate` HOF /
+    // DuckDB list_reduce) — IEEE ops in the same order are bit-equal
+    val projSql =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_zip(embedding, range(0, len(embedding))), z ->
+        |        CAST(z[1] AS DOUBLE) *
+        |        (CAST((((((t*bits + b)*65536 + 1 + z[2]) * ((t*bits + b)*65536 + 1 + z[2])) % 65521) * 40503
+        |               + ((t*bits + b)*65536 + 1 + z[2]) * 12289) % 65521 AS DOUBLE)/32768.0 - 1.0))),
+        |      (a, x) -> a + x)""".stripMargin
+    s"""WITH p AS ($annBitsSql),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |sigs AS (SELECT vec_id, t AS band,
+       |  list_sum(list_transform(range(0, bits), b -> CASE WHEN
+       |    $projSql >= 0
+       |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS sig
+       |  FROM e, p, (SELECT UNNEST(${(0 until AnnBands).mkString("[", ",", "]")}) AS t) bands),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+       |         FROM sigs a JOIN sigs b
+       |           ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |nrm AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |scored AS (SELECT c.vec_id, c.neighbor_id,
+       |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |           z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (a.nrm*b.nrm) AS sim
+       |  FROM cand c JOIN nrm a ON c.vec_id = a.vec_id JOIN nrm b ON c.neighbor_id = b.vec_id)
+       |SELECT vec_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
+  /** LSH-bucketed approximate NN, multi-band OR-construction:
+    * [[AnnBands]] independent random-hyperplane signatures of
+    * [[annBits]] bits each; a pair is a candidate if it collides in
+    * ANY band; exact cosine + top-3 over candidates only. Full DuckDB
+    * oracle (hyperplanes are integer-hash arithmetic, sign decisions
+    * are left-fold doubles on both sides).
+    *
+    * Scale: bits grows with log2(n) ⇒ expected bucket size is
+    * constant (~128), so candidate pairs are O(n · 128 · bands) and
+    * the per-band join shuffles (band, sig) longs, never embeddings.
+    * Measured recall@3 vs exact q10 (bits=4, 24 bands; see
+    * graft.tools.ProbeRecall): 0.975 at sf0.01 (n=500), 0.971 at
+    * sf0.001 — on a corpus whose true top-3 are WEAK neighbors
+    * (median cosine 0.33), the hard case for sign-LSH.
     */
-  val q15 = Q.noOracle("q15_cosine_ann_lsh") { (s, d) =>
+  val q15 = Q("q15_cosine_ann_lsh", q15Sql) { (s, d) =>
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val sigBit: Column = {
-      val bits = (0 until SigBits).map { b =>
-        val proj = aggregate(
-          zip_with(col("embedding"),
-            transform(sequence(lit(0), size(col("embedding")) - 1), j => hyper(b, j)),
-            (x, h) => x.cast("double") * h),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, shiftleft(lit(1L), b)).otherwise(0L)
-      }
-      bits.reduce((a, c) => a.bitwiseOR(c))
-    }
-    val sig = e.withColumn("bucket", sigBit).cache() // both join sides
-    val p = sig.as("a").join(sig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        cosine(s, col("a.embedding"), col("b.embedding")).as("sim"))
+    val bits = annBits(e.count()) // metadata-only parquet row count
+    def proj(g: Int): Column = aggregate(
+      zip_with(col("embedding"),
+        transform(sequence(lit(0), size(col("embedding")) - 1), j => hyper(g, j)),
+        (x, h) => x.cast("double") * h),
+      lit(0.0), (acc, v) => acc + v)
+    def sig(t: Int): Column = (0 until bits).map { b =>
+      when(proj(t * bits + b) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val bandCols = (0 until AnnBands)
+      .map(t => struct(lit(t).as("band"), sig(t).as("sig")))
+    // bucket table: (vec_id, band, sig) longs only — embeddings are
+    // NOT carried through the candidate shuffle; cached (both sides)
+    val sigs = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .cache()
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id"), col("embedding").as("e1")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("e2")),
+        "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(s, col("e1"), col("e2")).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    p.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy(col("vec_id"), col("rank"))

@@ -114,7 +114,24 @@ object TextPipeline {
     ).orderBy(col("doc_id"))
   }
 
-  /** Distinct word-3-gram shingles per document (shared by q07/q12). */
+  /** Portable polynomial string hash (left fold over codepoints) —
+    * IDENTICAL integer arithmetic in Spark and DuckDB, so the
+    * hash-dependent near-dup operators (q12 MinHash, q13 SimHash)
+    * carry full value oracles (round 1 used xxhash64, which DuckDB
+    * cannot compute ⇒ rows-only checks). Same scheme as q14's
+    * document fingerprint. acc < mod ≤ 2^31 and base ≤ 131 keep every
+    * intermediate < 2^39 — no 64-bit overflow in either engine. */
+  private def fpCol(c: Column, base: Long, mod: Long): Column =
+    aggregate(
+      transform(filter(split(c, ""), ch => length(ch) > 0),
+        ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * base + x) % mod)
+  private def fpSql(e: String, base: Long, mod: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($e, ''), c -> len(c) > 0), " +
+      s"c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a*$base + b) % $mod)"
+
+  /** Distinct word-3-gram shingles per document (shared by q07/q12/q18). */
   private[graft] def shingles(df: DataFrame): DataFrame = {
     val w = toks(col("text"))
     df.select(col("doc_id"), w.as("w"))
@@ -146,6 +163,58 @@ object TextPipeline {
     val sh = shingles(Tables.documents(s, d)).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("n1") + col("n2") - col("common")).cast("double")
+    pairs
+      .join(cnt.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+      .join(cnt.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+      .select(col("doc1"), col("doc2"), col("common"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Shingles present in more than this many documents are dropped by
+    * q18 — stop-phrase shingles ("the of the") carry no near-dup
+    * signal but are the guaranteed hot keys of the self-join at
+    * scale (one key joining k docs costs O(k²) pairs). */
+  private val HotShingleDfCap = 10
+
+  /** q07 with the hot-shingle document-frequency cap — the
+    * scale-safe variant (q07's own scale note, round-1 VERDICT #7).
+    * Per-doc set sizes are recomputed on the CAPPED sets so Jaccard
+    * stays a true set similarity of what was joined. Kept as a
+    * separate query (own oracle) so q07's uncapped oracle parity is
+    * untouched. */
+  val q18 = Q(
+    "q18_shingle_jaccard_capped",
+    s"""WITH words AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       |        FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+       |         HAVING COUNT(*) <= $HotShingleDfCap),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc1, doc2, common,
+       |  CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) AS jaccard
+       |FROM pairs JOIN cnt c1 ON doc1 = c1.doc_id JOIN cnt c2 ON doc2 = c2.doc_id
+       |WHERE CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5
+       |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+    // df per shingle, then an inner (semi-style) join keeps cold ones;
+    // at scale this is one extra groupBy on the SAME key the join
+    // shuffles on, and it removes the quadratic hot-key blowup
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= HotShingleDfCap)
+      .select(col("shingle"))
+    val shc = sh.join(keep, "shingle").cache()
+    val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = shc.as("a").join(shc.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .agg(count(lit(1)).as("common"))
@@ -229,20 +298,70 @@ object TextPipeline {
 
   private val MinhashPerms = 32
   private val Bands = 8 // 8 bands x 4 rows
+  /** Per-permutation affine constants over the q14 prime field,
+    * inlined as literals into BOTH the Spark plan and the oracle SQL
+    * (so they agree by construction). All nonzero mod P (asserted in
+    * QueriesSpec). */
+  private val P = 1000000007L
+  private def mhA(i: Int): Long = ((i + 1) * 2654435761L) % P
+  private def mhB(i: Int): Long = ((i + 1) * 2654777831L) % P
+  require((0 until MinhashPerms).forall(i => mhA(i) != 0L),
+    "degenerate MinHash permutation (multiplier ≡ 0 mod P)")
 
-  /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
-    * No oracle: signature values depend on Spark's xxhash64. The
-    * driver's rows-only check applies; the exact-Jaccard verification
-    * step is itself cross-checked by q07 (same threshold). */
-  val q12 = Q.noOracle("q12_minhash_lsh") { (s, d) =>
-    val sh = shingles(Tables.documents(s, d)).cache()
+  private val q12Sql: String = {
+    val mins = (0 until MinhashPerms)
+      .map(i => s"MIN((${mhA(i)}*sfp + ${mhB(i)}) % $P) AS mh$i").mkString(",\n  ")
+    val bands = (0 until Bands).map { b =>
+      val bh = (0 until MinhashPerms / Bands)
+        .map(r => s"mh${b * (MinhashPerms / Bands) + r}")
+        .foldLeft("CAST(0 AS BIGINT)")((acc, v) => s"(($acc)*131 + $v) % $P")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sig"
+    }.mkString("\nUNION ALL ")
+    s"""WITH words AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |shs AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       |        FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, ${fpSql("shingle", 31L, P)} AS sfp FROM shs),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |FROM sh GROUP BY doc_id),
+       |buckets AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |         FROM buckets a JOIN buckets b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |common AS (SELECT doc1, doc2, COUNT(*) AS common
+       |           FROM cand
+       |           JOIN sh s1 ON s1.doc_id = doc1
+       |           JOIN sh s2 ON s2.doc_id = doc2 AND s2.sfp = s1.sfp
+       |           GROUP BY doc1, doc2)
+       |SELECT doc1, doc2, common,
+       |  CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) AS jaccard
+       |FROM common JOIN cnt c1 ON doc1 = c1.doc_id JOIN cnt c2 ON doc2 = c2.doc_id
+       |WHERE CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
+  /** MinHash + LSH near-dup candidates, verified with exact Jaccard
+    * over the fingerprinted shingle sets. Full DuckDB oracle: shingle
+    * fingerprints and the 32 affine permutations use the portable
+    * prime-field hash (fpCol/fpSql) instead of round-1's xxhash64.
+    * The fp keeps one shuffled LONG per shingle (vs a ~25-char
+    * string); fp collisions (~n²/2P) would fold two shingles — the
+    * oracle mirrors the same arithmetic, so parity is exact. */
+  val q12 = Q("q12_minhash_lsh", q12Sql) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+      .select(col("doc_id"), fpCol(col("shingle"), 31L, P).as("sfp"))
+      .distinct()
+      .cache()
     val aggs = (0 until MinhashPerms)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+      .map(i => min((lit(mhA(i)) * col("sfp") + lit(mhB(i))) % P).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val rowsPerBand = MinhashPerms / Bands
     val bandCols = (0 until Bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
+      val bh = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}"))
+        .foldLeft(lit(0L): Column)((acc, v) => (acc * 131L + v) % P)
+      struct(lit(b).as("band"), bh.as("bh"))
     }
     // cache: the bucket table is tiny (Bands rows per doc) and feeds
     // BOTH sides of the self-join — without it the whole shingle →
@@ -255,15 +374,15 @@ object TextPipeline {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
-      .cache() // reused by the verify join and the final output join
-    // verify candidates with exact Jaccard (candidate set is small)
+    // verify candidates with exact Jaccard (candidate set is small);
+    // candidates with no common shingles have jaccard 0 < 0.5 — the
+    // inner join drops them, same as the oracle
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
-      .join(sh.select(col("doc_id").as("doc1"), col("shingle")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("shingle")), Seq("doc2", "shingle"))
+      .join(sh.select(col("doc_id").as("doc1"), col("sfp")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sfp")), Seq("doc2", "sfp"))
       .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("common"))
-    cand.join(common, Seq("doc1", "doc2"), "left")
-      .na.fill(0L, Seq("common"))
+    common
       .join(cnt.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
       .join(cnt.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
       .select(col("doc1"), col("doc2"), col("common"),
@@ -273,30 +392,83 @@ object TextPipeline {
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** 64-bit SimHash per document + near-dup pairs (Hamming ≤ 6)
-    * found via 16-bit chunk banding. No oracle (xxhash64-dependent).
-    */
-  val q13 = Q.noOracle("q13_simhash_dup") { (s, d) =>
+  /** 31-bit prime modulus for the two token-hash halves (q13). */
+  private val M31 = 2147483647L
+  /** Per-bit affine decorrelation constants (< 2^20 so
+    * A·h1 + C·h2 + B stays < 2^52 — no overflow in either engine).
+    * Polynomial hashes of SIMILAR tokens are numerically close, so
+    * raw bits of (h1,h2) correlate across tokens; bit b instead reads
+    * the low bit of an independent affine map of both halves. */
+  private val Q13M = 1048573L // prime < 2^20
+  private def bA(b: Int): Long = ((b + 1) * 2654435761L) % Q13M
+  private def bC(b: Int): Long = ((b + 1) * 2654777831L) % Q13M
+  private def bB(b: Int): Long = ((b + 1) * 40503L) % Q13M
+
+  private val q13Sql: String = {
+    val sums = (0 until 62)
+      .map(b => s"SUM(CASE WHEN ((${bA(b)}*h1 + ${bC(b)}*h2 + ${bB(b)}) % $M31) & 1 = 1 THEN cnt ELSE -cnt END) AS s_$b")
+      .mkString(",\n  ")
+    val orBits = (0 until 62)
+      .map(b => s"(CASE WHEN s_$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
+    s"""WITH tok AS (SELECT doc_id, t, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, UNNEST(w) AS t
+       |        FROM (SELECT doc_id, $toksSql AS w FROM documents))
+       |  GROUP BY doc_id, t),
+       |th AS (SELECT doc_id,
+       |  ${fpSql("t", 31L, M31)} AS h1, ${fpSql("t", 131L, M31)} AS h2,
+       |  cnt FROM tok),
+       |sums AS (SELECT doc_id,
+       |  $sums
+       |FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $orBits AS simhash FROM sums),
+       |chunks AS (SELECT doc_id, simhash, c, (simhash >> (c*9)) & 511 AS chunk
+       |           FROM sim CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6]) AS c) u),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       |                 a.simhash AS sh1, b.simhash AS sh2
+       |          FROM chunks a JOIN chunks b
+       |            ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc1, doc2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 6
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
+  /** 62-bit SimHash per document + near-dup pairs (Hamming ≤ 6)
+    * found via 9-bit chunk banding: 7 chunks, and 6 differing bits
+    * can dirty at most 6 of them — every Hamming ≤ 6 pair shares at
+    * least one exact chunk (pigeonhole; round 1's 4×16-bit banding
+    * only guaranteed Hamming ≤ 3). Full DuckDB oracle via the
+    * portable token hash (two 31-bit prime-field halves + per-bit
+    * affine decorrelation, see Q13M).
+    *
+    * One-pass signature build: the 62 per-bit contribution sums are
+    * 62 SUM(CASE..) aggregates in a single groupBy(doc_id) — one
+    * shuffle row per (doc, token), with map-side partial aggregation
+    * (round 1 exploded sequence(0,63) per token: 64× the shuffle
+    * input for the same result). */
+  val q13 = Q("q13_simhash_dup", q13Sql) { (s, d) =>
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"), col("cnt"))
-    val bitContrib = tok
-      .select(col("doc_id"), col("h"), col("cnt"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .select(col("doc_id"), col("b"),
-        expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN cnt ELSE -cnt END").as("contrib"))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("contrib")).as("sum_c"))
-    // cache: one row per doc; feeds both sides of the chunk self-join
-    val sim = bitContrib
       .select(col("doc_id"),
-        expr("CASE WHEN sum_c > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END").as("bit"))
-      .groupBy(col("doc_id")).agg(expr("bit_or(bit)").as("simhash"))
+        fpCol(col("t"), 31L, M31).as("h1"), fpCol(col("t"), 131L, M31).as("h2"),
+        col("cnt"))
+    val sumCols = (0 until 62).map { b =>
+      val bit = (lit(bA(b)) * col("h1") + lit(bC(b)) * col("h2") + lit(bB(b))) % M31
+      sum(when(bit.bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s_$b")
+    }
+    val simhashCol = (0 until 62).map { b =>
+      when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    // cache: one row per doc; feeds both sides of the chunk self-join
+    val sim = tok.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"), simhashCol.as("simhash"))
       .cache()
     val chunks = sim.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("c"))
+        explode(sequence(lit(0), lit(6))).as("c"))
       .select(col("doc_id"), col("simhash"), col("c"),
-        expr("shiftright(simhash, c * 16) & 65535").as("chunk"))
+        expr("shiftright(simhash, c * 9) & 511").as("chunk"))
     val pairs = chunks.as("a").join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -304,11 +476,12 @@ object TextPipeline {
         col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
       .distinct()
     pairs
-      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .withColumn("hamming",
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
       .filter(col("hamming") <= 6)
       .select(col("doc1"), col("doc2"), col("hamming"))
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  val all: Seq[Q] = Seq(q04, q05, q06, q07, q11, q12, q13, q14)
+  val all: Seq[Q] = Seq(q04, q05, q06, q07, q11, q12, q13, q14, q18)
 }

@@ -69,6 +69,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(col("error").isNull).count() == 1)
   }
 
+  test("reassembly: chunked two-level aggregation equals flat for any chunk size") {
+    val extracted = ExtractJob.run(spark,
+      TranscriptGen.fromDocuments(docs)).cache()
+    // chunkSize larger than any conversation ⇒ degenerate single-chunk
+    // (= flat) path through the same code; tiny chunkSize forces real
+    // multi-chunk merges (incl. on the skewed conversation)
+    val flat = Reassembly.conversations(extracted, chunkSize = 1 << 30)
+    val chunked = Reassembly.conversations(extracted, chunkSize = 3)
+    assert(flat.exceptAll(chunked).count() == 0)
+    assert(chunked.exceptAll(flat).count() == 0)
+    extracted.unpersist()
+  }
+
+  test("reassembly: a 1M-turn conversation reassembles with bounded buffers") {
+    // 1M turns in ONE conversation: the flat collect_list would buffer
+    // 1M structs on a single reducer; the chunked path caps each
+    // level-1 buffer at chunkSize and fans the chunks across reducers.
+    val big = spark.range(1000000).selectExpr(
+      "'conv-big' AS conv_id", "CAST(id AS INT) AS turn_idx",
+      "'t' AS text_content", "CAST(NULL AS STRING) AS error")
+    val out = Reassembly.conversations(big, chunkSize = 8192).head
+    assert(out.getAs[Long]("n_turns") == 1000000L)
+    // 1M single-char texts joined by "\n\n"
+    assert(out.getAs[String]("conversation_text").length == 3 * 1000000 - 2)
+    assert(out.getAs[Long]("n_errors") == 0L)
+  }
+
   test("reassembly: stable order, counts match generator") {
     val turns = TranscriptGen.fromDocuments(docs)
     val conv = Reassembly.conversations(

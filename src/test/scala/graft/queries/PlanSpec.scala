@@ -55,6 +55,28 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("q15: ANN candidate join is bucketed — hash/merge join on (band,sig), no nested loop") {
+    val p = plan("q15_cosine_ann_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the self-join keys must be the bucket columns, not a post-filter
+    assert(p.contains("band") && p.contains("sig"), p.take(2000))
+  }
+
+  test("q13: one shuffle row per (doc, token) — no 64x bit explode before the signature agg") {
+    val p = plan("q13_simhash_dup")
+    // the signature groupBy must aggregate straight from the token
+    // rows with map-side partial bit sums; the round-1 shape exploded
+    // 64 rows per token (an extra Generate + an exchange keyed on
+    // (doc_id, b)) before re-aggregating
+    assert(p.contains("partial_sum(CASE WHEN"), p.take(3000))
+    val generates = "Generate explode".r.findAllIn(p).size
+    // tokens explode + the 7-row chunk fanout, each printed once per
+    // self-join side of the cached branch = 4; a per-token bit
+    // explode (round-1 shape) would add two more
+    assert(generates <= 4, s"unexpected explode count $generates")
+  }
+
   test("q10: cosine runs inside codegen (no interpreted lambda in the join)") {
     val p = plan("q10_cosine_topk")
     assert(p.contains("cosine_sim"), p.take(2000))

@@ -3,6 +3,9 @@
 # local[4N], each invocation a fresh JVM. The sandbox host has bursty
 # CPU steal, so configs are run INTERLEAVED (N,4N x ROUNDS) and the
 # best run per config is kept (steal only ever slows a run down).
+# Host CPU steal is sampled around every run from /proc/stat and
+# logged, so a failed efficiency gate can be attributed (or not) to
+# the host rather than the engine.
 set -euo pipefail
 SF=${1:-/root/testdata/sf0.1}
 N=${2:-8}
@@ -11,9 +14,17 @@ ROUNDS=${4:-3}
 cd "$(dirname "$0")/.."
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g}
 export SPARK_GRAFT_CACHE_COMPRESSED=${SPARK_GRAFT_CACHE_COMPRESSED:-false}
+cpu_totals() { awk '/^cpu /{print $9, $2+$3+$4+$5+$6+$7+$8+$9+$10+$11}' /proc/stat; }
 run() {
-  sbt -batch "runMain graft.ScalingBench $SF $1 $REP" 2>/dev/null \
-    | grep -o '{"metric":"extract_throughput".*}'
+  local before after
+  before=($(cpu_totals))
+  local out
+  out=$(sbt -batch "runMain graft.ScalingBench $SF $1 $REP" 2>/dev/null \
+    | grep -o '{"metric":"extract_throughput".*}')
+  after=($(cpu_totals))
+  local dsteal=$((after[0] - before[0])) dtotal=$((after[1] - before[1]))
+  echo "[steal] cores=$1 steal_ticks=$dsteal total_ticks=$dtotal pct=$(python3 -c "print(f'{100.0*$dsteal/max(1,$dtotal):.2f}')")" >&2
+  echo "$out"
 }
 RESULTS=()
 for r in $(seq 1 "$ROUNDS"); do
