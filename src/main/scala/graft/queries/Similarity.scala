@@ -113,10 +113,15 @@ object Similarity {
     * correlates hyperplanes across dimensions and measurably hurts
     * recall. v ≤ g·65536+dim < 2^26 ⇒ v² < 2^52: no overflow in
     * either engine. */
-  private def hyper(g: Int, j: Column): Column = {
-    val v = lit(g * 65536L + 1L) + j
-    ((((v * v) % 65521L) * 40503L + v * 12289L) % 65521L).cast("double") / 32768.0 - 1.0
+  private def hyper(g: Int, j: Long): Double = {
+    val v = g * 65536L + 1L + j
+    (((v * v) % 65521L) * 40503L + v * 12289L) % 65521L / 32768.0 - 1.0
   }
+  /** Hyperplane g as a literal double array (precomputed driver-side
+    * with the SAME integer arithmetic the oracle SQL evaluates —
+    * all intermediates < 2^53, so the doubles are exact). */
+  private def hyperArr(g: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(j => hyper(g, j.toLong))
 
   private val q15Sql: String = {
     // proj ≥ 0 must decide identically in both engines: both sides
@@ -170,11 +175,13 @@ object Similarity {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bits = annBits(e.count()) // metadata-only parquet row count
-    def proj(g: Int): Column = aggregate(
-      zip_with(col("embedding"),
-        transform(sequence(lit(0), size(col("embedding")) - 1), j => hyper(g, j)),
-        (x, h) => x.cast("double") * h),
-      lit(0.0), (acc, v) => acc + v)
+    val dim = e.select(size(col("embedding"))).head.getInt(0) // uniform-dim corpus
+    // projection = codegen'd dot against a LITERAL hyperplane array
+    // (precomputed with the oracle's exact integer arithmetic) — the
+    // interpreted HOF form was the dominant signature-stage cost at
+    // bands*bits = 96 projections/vector
+    def proj(g: Int): Column =
+      call_function("dot_fd", col("embedding"), typedlit(hyperArr(g, dim)))
     def sig(t: Int): Column = (0 until bits).map { b =>
       when(proj(t * bits + b) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)

@@ -122,10 +122,7 @@ object TextPipeline {
     * document fingerprint. acc < mod ≤ 2^31 and base ≤ 131 keep every
     * intermediate < 2^39 — no 64-bit overflow in either engine. */
   private def fpCol(c: Column, base: Long, mod: Long): Column =
-    aggregate(
-      transform(filter(split(c, ""), ch => length(ch) > 0),
-        ch => ascii(ch).cast("long")),
-      lit(0L), (acc, x) => (acc * base + x) % mod)
+    call_function("poly_hash", c, lit(base), lit(mod)) // codegen'd left fold
   private def fpSql(e: String, base: Long, mod: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(list_filter(string_split($e, ''), c -> len(c) > 0), " +
@@ -205,7 +202,9 @@ object TextPipeline {
        |FROM pairs JOIN cnt c1 ON doc1 = c1.doc_id JOIN cnt c2 ON doc2 = c2.doc_id
        |WHERE CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5
        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-    val sh = shingles(Tables.documents(s, d))
+    // cache: the shingle set feeds BOTH the df computation and the
+    // capped join input — uncached it is recomputed per consumer
+    val sh = shingles(Tables.documents(s, d)).cache()
     // df per shingle, then an inner (semi-style) join keeps cold ones;
     // at scale this is one extra groupBy on the SAME key the join
     // shuffles on, and it removes the quadratic hot-key blowup
@@ -349,6 +348,7 @@ object TextPipeline {
     * string); fp collisions (~n²/2P) would fold two shingles — the
     * oracle mirrors the same arithmetic, so parity is exact. */
   val q12 = Q("q12_minhash_lsh", q12Sql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     val sh = shingles(Tables.documents(s, d))
       .select(col("doc_id"), fpCol(col("shingle"), 31L, P).as("sfp"))
       .distinct()
@@ -447,6 +447,7 @@ object TextPipeline {
     * (round 1 exploded sequence(0,63) per token: 64× the shuffle
     * input for the same result). */
   val q13 = Q("q13_simhash_dup", q13Sql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
