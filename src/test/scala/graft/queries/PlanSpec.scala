@@ -71,7 +71,7 @@ class PlanSpec extends AnyFunSuite {
     // (doc_id, b)) before re-aggregating
     assert(p.contains("partial_sum(CASE WHEN"), p.take(3000))
     val generates = "Generate explode".r.findAllIn(p).size
-    // tokens explode + the 7-row chunk fanout, each printed once per
+    // tokens explode + the 4-row chunk fanout, each printed once per
     // self-join side of the cached branch = 4; a per-token bit
     // explode (round-1 shape) would add two more
     assert(generates <= 4, s"unexpected explode count $generates")
