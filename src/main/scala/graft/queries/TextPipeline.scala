@@ -307,6 +307,11 @@ object TextPipeline {
   require((0 until MinhashPerms).forall(i => mhA(i) != 0L),
     "degenerate MinHash permutation (multiplier ≡ 0 mod P)")
 
+  /** 3-gram fingerprint combine base (token fps composed positionally
+    * instead of re-hashing the joined shingle string — each char is
+    * hashed ONCE per doc, and no shingle strings are materialized). */
+  private val K3 = 1000003L
+
   private val q12Sql: String = {
     val mins = (0 until MinhashPerms)
       .map(i => s"MIN((${mhA(i)}*sfp + ${mhB(i)}) % $P) AS mh$i").mkString(",\n  ")
@@ -317,9 +322,11 @@ object TextPipeline {
       s"SELECT doc_id, $b AS band, $bh AS bh FROM sig"
     }.mkString("\nUNION ALL ")
     s"""WITH words AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |shs AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-       |        FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
-       |sh AS (SELECT DISTINCT doc_id, ${fpSql("shingle", 31L, P)} AS sfp FROM shs),
+       |tf AS (SELECT doc_id, list_transform(w, t -> ${fpSql("t", 31L, P)}) AS f
+       |       FROM words WHERE len(w) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         ((((f[i]*$K3 + f[i+1]) % $P) * $K3 + f[i+2]) % $P) AS sfp
+       |       FROM tf, UNNEST(range(1, len(f)-1)) AS t(i)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |sig AS (SELECT doc_id,
        |  $mins
@@ -344,13 +351,23 @@ object TextPipeline {
     * over the fingerprinted shingle sets. Full DuckDB oracle: shingle
     * fingerprints and the 32 affine permutations use the portable
     * prime-field hash (fpCol/fpSql) instead of round-1's xxhash64.
-    * The fp keeps one shuffled LONG per shingle (vs a ~25-char
-    * string); fp collisions (~n²/2P) would fold two shingles — the
-    * oracle mirrors the same arithmetic, so parity is exact. */
+    * Shingle fps are composed POSITIONALLY from per-token fps (each
+    * char hashed once per doc, no shingle strings materialized, and
+    * the only set-dedup shuffle carries one LONG per shingle);
+    * fp collisions (~n²/2P) would fold two shingles — the oracle
+    * mirrors the same arithmetic, so parity is exact. */
   val q12 = Q("q12_minhash_lsh", q12Sql) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val sh = shingles(Tables.documents(s, d))
-      .select(col("doc_id"), fpCol(col("shingle"), 31L, P).as("sfp"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        transform(col("w"), t => fpCol(t, 31L, P)).as("f"))
+    val sh = tf
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("f")) - 2), i =>
+          ((((element_at(col("f"), i) * K3 + element_at(col("f"), i + 1)) % P)
+            * K3 + element_at(col("f"), i + 2)) % P))).as("sfp"))
       .distinct()
       .cache()
     val aggs = (0 until MinhashPerms)
