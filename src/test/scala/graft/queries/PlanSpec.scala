@@ -61,6 +61,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     // the self-join keys must be the bucket columns, not a post-filter
     assert(p.contains("band") && p.contains("sig"), p.take(2000))
+    // top-k via the bounded typed aggregate (map-side partial), not a
+    // full-candidate window sort
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+  }
+
+  test("q19: LSH threshold near-dup join is bucketed, no nested loop") {
+    val p = plan("q19_cosine_near_dup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("band") && p.contains("sig"), p.take(2000))
   }
 
   test("q13: one shuffle row per (doc, token) — no 64x bit explode before the signature agg") {
