@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   *    projection, no shuffle except the final tiny per-lang agg; all
   *    text math is codegen'd `functions._` (no UDFs).
   *  - q07: the shingle self-join is the classic hot-key risk; AQE
-  *    skew-join handles moderate skew, and at 100 TB a document-
-  *    frequency cap on shingles (drop shingles in > X docs — they
-  *    carry no near-dup signal) bounds the worst key. Kept uncapped
-  *    here for oracle parity at test SF.
+  *    skew-join handles moderate skew. q07 stays uncapped (it is the
+  *    exact baseline); q18 is the scale-safe variant with the
+  *    document-frequency cap (shingles in > 10 docs carry no
+  *    near-dup signal and are the guaranteed O(k²) hot keys).
   *  - q12: MinHash signatures are computed in ONE groupBy with 32
   *    min() aggregates (partial agg ⇒ one shuffle of 32 longs per
   *    doc, not 32 passes); LSH banding turns the O(n²) pair space
-  *    into per-bucket joins.
+  *    into per-bucket joins; shingle/token hashing is the codegen'd
+  *    poly_hash, oracle-mirrored in DuckDB.
   */
 object TextPipeline {
 
