@@ -120,7 +120,14 @@ object Extras {
   }
 
   /** extractor.ts:113-132: collapse whitespace in DIRECT child text
-    * nodes, then merge adjacent direct text-node siblings. */
+    * nodes, then merge adjacent direct text-node siblings.
+    *
+    * DELIBERATE DEVIATION (this is non-parity dead code, so the fix
+    * is documented rather than replicated): the reference iterates a
+    * pairwise SNAPSHOT of `contents()` while mutating it, so a run of
+    * 3+ adjacent text nodes merges into an already-detached node and
+    * the trailing text can be dropped ("a b c" → "a b"). This rebuild
+    * merges the full run in place ("a b c"). */
   def normalizeText(e: Element): Unit = {
     e.children.foreach {
       case t: TextNode => t.data = t.data.replaceAll("\\s+", " ").trim
