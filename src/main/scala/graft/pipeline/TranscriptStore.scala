@@ -112,19 +112,40 @@ object CheckpointedExtract {
   /** Run extraction over `turns`, committing per bucket group;
     * resumes past already-committed buckets. Returns snapshot ids
     * committed by THIS invocation.
+    *
+    * One-pass: the input is scanned and extracted ONCE for all todo
+    * buckets, staged to parquet `partitionBy(bucket)`; each commit
+    * group then reads back only its buckets (partition-pruned scan of
+    * the already-extracted output) — extraction cost no longer
+    * depends on `buckets / bucketsPerCommit` (round-2 VERDICT #5; the
+    * Iceberg analogue stages to an uncommitted WAP branch and commits
+    * per bucket group from it).
     */
   def run(spark: SparkSession, turns: DataFrame, store: TranscriptStore,
           buckets: Int = 8, bucketsPerCommit: Int = 4): Seq[Long] = {
     val done = store.committedBuckets()
     val todo = (0 until buckets).filterNot(done.contains)
-    todo.grouped(bucketsPerCommit).map { group =>
-      val slice = turns.filter(
-        pmod(xxhash64(col("conv_id")), lit(buckets)).isin(group.map(_.toLong): _*))
-      val extracted = ExtractJob.run(spark, slice).cache()
-      val snap = store.commit(extracted,
-        lineageOf(extracted), metricsOf(extracted), group)
-      extracted.unpersist()
-      snap
-    }.toSeq
+    if (todo.isEmpty) return Seq.empty
+    val staging = Files.createTempDirectory("graft-extract-staging")
+    try {
+      val bucketCol = pmod(xxhash64(col("conv_id")), lit(buckets))
+      val slice = turns.filter(bucketCol.isin(todo.map(_.toLong): _*))
+      ExtractJob.run(spark, slice)
+        .withColumn("bucket", bucketCol)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+      todo.grouped(bucketsPerCommit).map { group =>
+        val data = staged
+          .filter(col("bucket").isin(group: _*)) // partition-pruned
+          .drop("bucket")
+        store.commit(data, lineageOf(data), metricsOf(data), group)
+      }.toSeq
+    } finally {
+      import scala.jdk.CollectionConverters._
+      try Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+      catch { case _: Throwable => () }
+    }
   }
 }

@@ -392,13 +392,22 @@ object TextPipeline {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
-    // verify candidates with exact Jaccard (candidate set is small);
-    // candidates with no common shingles have jaccard 0 < 0.5 — the
-    // inner join drops them, same as the oracle
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .cache() // tiny; feeds the doc-id reduction AND the verify join
+    // verify candidates with exact Jaccard — but FIRST semi-join-
+    // reduce the shingle table to candidate doc_ids: candidates are a
+    // vanishing fraction of the corpus at scale (that is the point of
+    // LSH), so the two verify joins and the set-size agg below read
+    // |candidate docs| shingle rows instead of the full corpus.
+    // Candidates with no common shingles have jaccard 0 < 0.5 — the
+    // inner join drops them, same as the oracle.
+    val candDocs = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id")))
+      .distinct()
+    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi").cache()
+    val cnt = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
-      .join(sh.select(col("doc_id").as("doc1"), col("sfp")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("sfp")), Seq("doc2", "sfp"))
+      .join(shCand.select(col("doc_id").as("doc1"), col("sfp")), "doc1")
+      .join(shCand.select(col("doc_id").as("doc2"), col("sfp")), Seq("doc2", "sfp"))
       .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("common"))
     common
       .join(cnt.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")

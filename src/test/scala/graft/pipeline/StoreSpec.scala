@@ -62,6 +62,25 @@ class StoreSpec extends AnyFunSuite {
     assert(metrics.agg(sum("n_turns")).head.getLong(0) == turns.count())
   }
 
+  test("one-pass: input is extracted once, not once per commit group") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-onepass").toString
+    val store = new ParquetSnapshotStore(dir)
+    val parts = 4
+    // wrap the input so every executed scan of it bumps a counter
+    val counted = turns.as[Turn].repartition(parts)
+      .mapPartitions { it => StoreSpecScanCount.n.incrementAndGet(); it }
+      .toDF()
+    StoreSpecScanCount.n.set(0)
+    // 4 commit groups — the pre-round-3 implementation re-scanned and
+    // re-extracted the input per group (counter would read 4 × parts)
+    CheckpointedExtract.run(spark, counted, store, buckets = 8, bucketsPerCommit = 2)
+    assert(StoreSpecScanCount.n.get == parts)
+    assert(store.committedBuckets() == (0 until 8).toSet)
+    assert(fingerprint(store.readData(spark)) ==
+      fingerprint(ExtractJob.run(spark, turns)))
+  }
+
   test("no partial state visible without a commit") {
     val dir = Files.createTempDirectory("graft-store-empty").toString
     val store = new ParquetSnapshotStore(dir)
@@ -69,4 +88,10 @@ class StoreSpec extends AnyFunSuite {
     assert(store.committedBuckets().isEmpty)
     intercept[IllegalArgumentException](store.readData(spark))
   }
+}
+
+/** JVM-global scan counter for the one-pass test (local mode: executor
+  * threads share this object). */
+object StoreSpecScanCount {
+  val n = new java.util.concurrent.atomic.AtomicLong()
 }
