@@ -6,12 +6,14 @@ import graft.queries.{Q, Tables}
 /** Multimodal + checkpoint/resume operators as registry queries. */
 object MultimodalQueries {
 
-  /** Per-asset decoded features via the batched binary pipeline
-    * (decode itself is the marked stub; plumbing is real). Rows-only:
-    * the feature math lives in Scala. Output is per-asset and
-    * deterministic (sequential per-row fold). */
+  /** Per-asset decoded features via the batched binary pipeline.
+    * Image payloads are genuine PNGs decoded with the JDK's ImageIO
+    * (PngCodec); audio/video use the marked byte-fold stub (no JDK
+    * codec). Rows-only: the feature math lives in Scala. Output is
+    * per-asset and deterministic (PNG is lossless, so decoded pixels
+    * — and therefore features — are exact). */
   val q30 = Q.noOracle("q30_multimodal_features") { (s, d) =>
-    val assets = Multimodal.syntheticAssets(Tables.documents(s, d))
+    val assets = Multimodal.syntheticAssetsDecodable(s, Tables.documents(s, d))
     Multimodal.extractFeatures(s, assets)
       .select(col("asset_id"), col("kind"), col("n_bytes"),
         round(col("feature_norm"), 6).as("feature_norm"))

@@ -70,6 +70,42 @@ class ExtrasSpec extends AnyFunSuite {
     assert(e.select("td").length == 1)
   }
 
+  test("configurable weights: defaultConfig tables drive calculateNodeScore (extractor.ts:187-232)") {
+    val e = Dom.element("article", "class" -> "content")
+    val p = new Element("p")
+    p.appendChild(new TextNode("x" * 250))
+    e.appendChild(p)
+    // defaultConfig: tag article=30, class content=25; live: 10 + 8.
+    // shared terms: text 250 → +2, 1 <p> → +1, no links/imgs/headings
+    val dc = new BaseExtractor(ExtractOptions(weights = ScoreWeights.DefaultConfig))
+    assert(dc.calculateNodeScore(e) == 30 + 25 + 2 + 1)
+    val live = new BaseExtractor()
+    assert(live.calculateNodeScore(e) == 10 + 8 + 2 + 1)
+  }
+
+  test("configurable weights: override flips the heuristic-argmax winner end-to-end") {
+    // two stage-4 candidates with byte-identical inner content (equal
+    // content-score extras) whose class/tag weights ORDER DIFFERENTLY
+    // between the live and defaultConfig tables:
+    //   <div class="content">:    live 4+8=12   defaultConfig 5+25=30
+    //   <section class="text">:   live 6+4=10   defaultConfig 25+25=50
+    // neither matches any stage-2/3 selector → findBestNode decides.
+    def para(w: String) = s"<p>${(w + " ") * 12}end.</p>"
+    def body(w: String) = para(w) * 6
+    val html =
+      s"""<html><body>
+         |<div class="content">${body("alpha")}</div>
+         |<section class="text">${body("bravo")}</section>
+         |</body></html>""".stripMargin
+    val live = new BaseExtractor().extract(html, "https://example.com/w")
+    assert(live.metrics.fallbackStage == 4)
+    assert(live.textContent.startsWith("alpha"))
+    val dc = new BaseExtractor(ExtractOptions(weights = ScoreWeights.DefaultConfig))
+      .extract(html, "https://example.com/w")
+    assert(dc.metrics.fallbackStage == 4)
+    assert(dc.textContent.startsWith("bravo"))
+  }
+
   test("ReadabilityPlus: argmax candidate wins; linkless page yields None (ref quirk)") {
     val html =
       """<html><body>
