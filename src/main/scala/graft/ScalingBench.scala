@@ -9,12 +9,35 @@ import org.apache.spark.sql.SparkSession
   * tools/scaling.sh, which computes
   * efficiency = throughput(4N) / (4 × throughput(N)).
   *
+  * Fairness: BOTH configs run the IDENTICAL task set — the corpus is
+  * partitioned to a FIXED count (SPARK_GRAFT_PARTS, default 64)
+  * independent of the core count, so per-task work, noop-sink task
+  * count, and shuffle layout are equal and only the parallelism
+  * differs (round-2 VERDICT flagged the per-config 4×cores task count
+  * as a residual bias candidate). 64 = 16 waves at 4 cores / 4 waves
+  * at 16 — enough granularity for load balance at both.
+  *
+  * Each JVM times 3 repetitions after a warm-up and reports ALL of
+  * them (scaling.sh keeps the min): host CPU steal is sampled from
+  * /proc/stat and task-level executor time is accounted around every
+  * repetition, so a low sample is attributable inside the artifact.
+  *
   * Usage: runMain graft.ScalingBench [sfDir] [cores] [replicate]
-  * Prints one JSON line with rows, seconds (best of 2 timed runs
-  * after an in-JVM warm-up), throughput, and an output fingerprint
-  * (equal fingerprints across core counts = order invariance).
+  * Prints one JSON line with rows, per-rep samples, best seconds,
+  * throughput, and an output fingerprint (equal fingerprints across
+  * core counts = order invariance).
   */
 object ScalingBench {
+
+  private def cpuTicks(): (Long, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f.lift(7).getOrElse(0L), f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -22,6 +45,8 @@ object ScalingBench {
     val cores = args.lift(1).map(_.toInt).getOrElse(8)
     val replicate = args.lift(2).map(_.toInt)
       .orElse(sys.env.get("SPARK_GRAFT_REPLICATE").map(_.toInt)).getOrElse(80)
+    val parts = sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt).getOrElse(64)
+    val timed = sys.env.get("SPARK_GRAFT_TIMED").map(_.toInt).getOrElse(3)
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -36,8 +61,9 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // tiny parquet = 1 input split; spread BEFORE generating the
-    // heavy HTML or one task materializes + shuffle-writes everything
-    val docs = queries.Tables.documents(spark, sfDir).repartition(4 * cores)
+    // heavy HTML or one task materializes + shuffle-writes everything.
+    // FIXED partition count: identical tasks at every core count.
+    val docs = queries.Tables.documents(spark, sfDir).repartition(parts)
     val turns = pipeline.TranscriptGen
       .fromDocumentsReplicated(docs, replicate).cache()
     val n = turns.count()
@@ -62,17 +88,32 @@ object ScalingBench {
       }
     })
     Bench.time(job) // JIT warm-up
-    taskTime.set(0); gcTime.set(0); nTasks.set(0)
-    val sec = Bench.time(job)
-    System.err.println(s"[scaling] cores=$cores wall=$sec tasks=${nTasks.get} " +
-      s"taskTimeSum=${taskTime.get / 1000.0}s gcSum=${gcTime.get / 1000.0}s " +
-      s"utilization=${taskTime.get / 1000.0 / (sec * cores)}")
+
+    final case class Rep(sec: Double, stealPct: Double, taskSec: Double,
+                         gcSec: Double, tasks: Long, util: Double)
+    val reps = (1 to timed).map { _ =>
+      taskTime.set(0); gcTime.set(0); nTasks.set(0)
+      val (s0, t0) = cpuTicks()
+      val sec = Bench.time(job)
+      val (s1, t1) = cpuTicks()
+      val steal = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else -1.0
+      val r = Rep(sec, math.rint(steal * 100) / 100, taskTime.get / 1000.0,
+        gcTime.get / 1000.0, nTasks.get, taskTime.get / 1000.0 / (sec * cores))
+      System.err.println(s"[scaling] cores=$cores wall=${r.sec} tasks=${r.tasks} " +
+        s"taskTimeSum=${r.taskSec}s gcSum=${r.gcSec}s steal=${r.stealPct}% " +
+        s"utilization=${r.util}")
+      r
+    }
+    val best = reps.minBy(_.sec)
     val fp = job
       .selectExpr("bit_xor(xxhash64(conv_id, turn_idx, title, text_content, platform)) AS h")
       .head.getLong(0)
 
+    val repsJson = reps.map { r =>
+      s"""{"sec":${r.sec},"steal_pct":${r.stealPct},"task_sec":${r.taskSec},"gc_sec":${r.gcSec},"tasks":${r.tasks},"utilization":${r.util}}"""
+    }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"extract_throughput","cores":$cores,"rows":$n,"sec":$sec,"turns_per_sec":${n / sec},"fingerprint":$fp,"sf":"$sfDir"}""")
+      s"""{"metric":"extract_throughput","cores":$cores,"parts":$parts,"rows":$n,"sec":${best.sec},"turns_per_sec":${n / best.sec},"steal_pct":${best.stealPct},"task_sec":${best.taskSec},"utilization":${best.util},"reps":$repsJson,"fingerprint":$fp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,9 +3,13 @@
 # local[4N], each invocation a fresh JVM. The sandbox host has bursty
 # CPU steal, so configs are run INTERLEAVED (N,4N x ROUNDS) and the
 # best run per config is kept (steal only ever slows a run down).
-# Host CPU steal is sampled around every run from /proc/stat and
-# logged, so a failed efficiency gate can be attributed (or not) to
-# the host rather than the engine.
+# Each JVM times 3 repetitions (ScalingBench) and reports per-rep host
+# steal + task-level accounting; this script additionally samples
+# /proc/stat around each whole JVM run, prints the gate verdict, and
+# APPENDS one machine-readable evidence line per invocation to
+# SCALING_EVIDENCE.jsonl at the repo root (the sidecar the round-2
+# verdict asked for: steal + task-time inflation recorded next to the
+# official bench artifact, not in prose).
 set -euo pipefail
 SF=${1:-/root/testdata/sf0.1}
 N=${2:-8}
@@ -14,7 +18,9 @@ ROUNDS=${4:-3}
 cd "$(dirname "$0")/.."
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g}
 export SPARK_GRAFT_CACHE_COMPRESSED=${SPARK_GRAFT_CACHE_COMPRESSED:-false}
+SIDEKICK=${SCALING_EVIDENCE:-SCALING_EVIDENCE.jsonl}
 cpu_totals() { awk '/^cpu /{print $9, $2+$3+$4+$5+$6+$7+$8+$9+$10+$11}' /proc/stat; }
+RESULTS=()
 run() {
   local before after
   before=($(cpu_totals))
@@ -23,17 +29,23 @@ run() {
     | grep -o '{"metric":"extract_throughput".*}')
   after=($(cpu_totals))
   local dsteal=$((after[0] - before[0])) dtotal=$((after[1] - before[1]))
-  echo "[steal] cores=$1 steal_ticks=$dsteal total_ticks=$dtotal pct=$(python3 -c "print(f'{100.0*$dsteal/max(1,$dtotal):.2f}')")" >&2
-  echo "$out"
+  local pct
+  pct=$(python3 -c "print(f'{100.0*$dsteal/max(1,$dtotal):.2f}')")
+  echo "[steal] cores=$1 jvm_steal_pct=$pct" >&2
+  # wrap with the shell-level steal sample around the whole JVM
+  echo "$(python3 -c "
+import json,sys
+r=json.loads(sys.argv[1]); r['jvm_steal_pct']=float(sys.argv[2]); print(json.dumps(r))
+" "$out" "$pct")"
 }
-RESULTS=()
 for r in $(seq 1 "$ROUNDS"); do
   A=$(run "$N");     echo "$A"; RESULTS+=("$A")
   B=$(run $((4*N))); echo "$B"; RESULTS+=("$B")
 done
-python3 - "${RESULTS[@]}" <<'EOF'
-import json, sys
-runs = [json.loads(a) for a in sys.argv[1:]]
+python3 - "$SIDEKICK" "${RESULTS[@]}" <<'EOF'
+import json, sys, datetime
+sidecar = sys.argv[1]
+runs = [json.loads(a) for a in sys.argv[2:]]
 best = {}
 for r in runs:
     c = r["cores"]
@@ -41,11 +53,27 @@ for r in runs:
         best[c] = r
 a = best[min(best)]; b = best[max(best)]
 eff = b["turns_per_sec"] / (4 * a["turns_per_sec"])
-print(json.dumps({
+# per-task time inflation going N -> 4N on the IDENTICAL task set
+# (same fixed partition count): task_sec ratio of the best runs
+inflation = (b.get("task_sec", 0) / a.get("task_sec", 1)
+             if a.get("task_sec") else None)
+summary = {
     "metric": "scaling_efficiency", "value": eff, "unit": "ratio",
     "cores_n": a["cores"], "cores_4n": b["cores"], "rows": a["rows"],
     "sec_n": a["sec"], "sec_4n": b["sec"],
     "throughput_n": a["turns_per_sec"], "throughput_4n": b["turns_per_sec"],
     "outputs_identical": a["fingerprint"] == b["fingerprint"],
-    "rounds": len(runs) // 2, "sf": a["sf"]}))
+    "rounds": len(runs) // 2, "sf": a["sf"]}
+print(json.dumps(summary))
+evidence = dict(summary)
+evidence.update({
+    "ts_utc": datetime.datetime.utcnow().isoformat(timespec="seconds"),
+    "parts": a.get("parts"),
+    "task_sec_n": a.get("task_sec"), "task_sec_4n": b.get("task_sec"),
+    "task_time_inflation_n_to_4n": inflation,
+    "utilization_n": a.get("utilization"), "utilization_4n": b.get("utilization"),
+    "best_steal_pct_n": a.get("steal_pct"), "best_steal_pct_4n": b.get("steal_pct"),
+    "runs": runs})
+with open(sidecar, "a") as f:
+    f.write(json.dumps(evidence) + "\n")
 EOF
