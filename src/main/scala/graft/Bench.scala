@@ -188,8 +188,13 @@ object Bench {
       else turnsPerSec / ((cpus.toDouble / smallCpus) * tps(smallCpus))
 
     // ---- per-query sweep at full parallelism ----
+    // single-shot per query (driver-contract shape), so each time is
+    // steal-annotated — a throttle window inflating the sweep is
+    // attributable inside the artifact (round-2 sweep swung 62-206 s
+    // on identical code)
     val spark = session(cpus)
     val results = SparkEntry.registry.map { q =>
+      val (s0, t0) = cpuTicks()
       val sec =
         try time(q.fn(spark, sfDir))
         catch {
@@ -197,10 +202,14 @@ object Bench {
             System.err.println(s"[bench] query ${q.name} FAILED: $e")
             -1.0
         }
-      q.name -> sec
+      val (s1, t1) = cpuTicks()
+      val steal = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else -1.0
+      (q.name, sec, math.rint(steal * 100) / 100)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qSteal = results.map { case (k, _, st) => "\"" + k + "\":" + st }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     // per-context minima, round order (the round-2 artifact shape)
@@ -216,7 +225,7 @@ object Bench {
     val scalingJson =
       s"""{"cores_n":$smallCpus,"throughput_n":${tps(smallCpus)},"cores_4n":$cpus,"throughput_4n":$turnsPerSec,"efficiency":$efficiency}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"turns_per_sec":$turnsPerSec,"headline_rows":$rows,"headline_runs":$runsJson,"headline_detail":$detailJson,"scaling":$scalingJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"turns_per_sec":$turnsPerSec,"headline_rows":$rows,"headline_runs":$runsJson,"headline_detail":$detailJson,"queries_steal_pct":$qSteal,"scaling":$scalingJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

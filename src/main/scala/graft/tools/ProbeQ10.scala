@@ -16,7 +16,8 @@ object ProbeQ10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sec = graft.Bench.time(graft.SparkEntry.queries(name)(spark, sfDir))
-    println(s"PROBE $name @ $sfDir: $sec sec")
+    val sec2 = graft.Bench.time(graft.SparkEntry.queries(name)(spark, sfDir))
+    println(s"PROBE $name @ $sfDir: cold $sec sec, warm $sec2 sec")
     spark.stop()
   }
 }
