@@ -130,11 +130,14 @@ object CheckpointedExtract {
     try {
       val bucketCol = pmod(xxhash64(col("conv_id")), lit(buckets))
       val slice = turns.filter(bucketCol.isin(todo.map(_.toLong): _*))
-      ExtractJob.run(spark, slice)
-        .withColumn("bucket", bucketCol)
-        .write.mode(SaveMode.Overwrite)
+      val extracted = ExtractJob.run(spark, slice).withColumn("bucket", bucketCol)
+      extracted.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(staging.toString)
-      val staged = spark.read.parquet(staging.toString)
+      // explicit schema: a zero-row slice stages no data files, and
+      // schema INFERENCE on the empty dir would throw — empty buckets
+      // must still commit (resume/empty-corpus callers relied on it
+      // before the one-pass rewrite)
+      val staged = spark.read.schema(extracted.schema).parquet(staging.toString)
       todo.grouped(bucketsPerCommit).map { group =>
         val data = staged
           .filter(col("bucket").isin(group: _*)) // partition-pruned

@@ -209,9 +209,9 @@ object Similarity {
     }.reduce(_ bitwiseOR _)
     val bandCols = (0 until AnnBands)
       .map(t => struct(lit(t).as("band"), sig(t).as("sig")))
-    e.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .cache()
+    TempCaches.cached(
+      e.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig")))
   }
 
   val q15 = Q("q15_cosine_ann_lsh", q15Sql) { (s, d) =>

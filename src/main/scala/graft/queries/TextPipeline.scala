@@ -158,7 +158,7 @@ object TextPipeline {
        |FROM pairs JOIN cnt c1 ON doc1 = c1.doc_id JOIN cnt c2 ON doc2 = c2.doc_id
        |WHERE CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5
        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-    val sh = shingles(Tables.documents(s, d)).cache()
+    val sh = TempCaches.cached(shingles(Tables.documents(s, d)))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -205,14 +205,14 @@ object TextPipeline {
        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
     // cache: the shingle set feeds BOTH the df computation and the
     // capped join input — uncached it is recomputed per consumer
-    val sh = shingles(Tables.documents(s, d)).cache()
+    val sh = TempCaches.cached(shingles(Tables.documents(s, d)))
     // df per shingle, then an inner (semi-style) join keeps cold ones;
     // at scale this is one extra groupBy on the SAME key the join
     // shuffles on, and it removes the quadratic hot-key blowup
     val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= HotShingleDfCap)
       .select(col("shingle"))
-    val shc = sh.join(keep, "shingle").cache()
+    val shc = TempCaches.cached(sh.join(keep, "shingle"))
     val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = shc.as("a").join(shc.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -364,13 +364,12 @@ object TextPipeline {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         transform(col("w"), t => fpCol(t, 31L, P)).as("f"))
-    val sh = tf
+    val sh = TempCaches.cached(tf
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("f")) - 2), i =>
           ((((element_at(col("f"), i) * K3 + element_at(col("f"), i + 1)) % P)
             * K3 + element_at(col("f"), i + 2)) % P))).as("sfp"))
-      .distinct()
-      .cache()
+      .distinct())
     val aggs = (0 until MinhashPerms)
       .map(i => min((lit(mhA(i)) * col("sfp") + lit(mhB(i))) % P).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -384,15 +383,14 @@ object TextPipeline {
     // cache: the bucket table is tiny (Bands rows per doc) and feeds
     // BOTH sides of the self-join — without it the whole shingle →
     // signature pipeline is recomputed per side
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .cache()
-    val cand = buckets.as("a").join(buckets.as("b"),
+    val buckets = TempCaches.cached(
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
+    val cand = TempCaches.cached(buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
-      .cache() // tiny; feeds the doc-id reduction AND the verify join
+      .distinct()) // tiny; feeds the doc-id reduction AND the verify join
     // verify candidates with exact Jaccard — but FIRST semi-join-
     // reduce the shingle table to candidate doc_ids: candidates are a
     // vanishing fraction of the corpus at scale (that is the point of
@@ -403,7 +401,7 @@ object TextPipeline {
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2").as("doc_id")))
       .distinct()
-    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi").cache()
+    val shCand = TempCaches.cached(sh.join(candDocs, Seq("doc_id"), "left_semi"))
     val cnt = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(shCand.select(col("doc_id").as("doc1"), col("sfp")), "doc1")
@@ -493,9 +491,9 @@ object TextPipeline {
       when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     // cache: one row per doc; feeds both sides of the chunk self-join
-    val sim = tok.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
-      .select(col("doc_id"), simhashCol.as("simhash"))
-      .cache()
+    val sim = TempCaches.cached(
+      tok.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+        .select(col("doc_id"), simhashCol.as("simhash")))
     val chunks = sim.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .select(col("doc_id"), col("simhash"), col("c"),

@@ -15,8 +15,10 @@ object ProbeQ10 {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sec = graft.Bench.time(graft.SparkEntry.queries(name)(spark, sfDir))
-    val sec2 = graft.Bench.time(graft.SparkEntry.queries(name)(spark, sfDir))
+    val sec = graft.Bench.timeBuilt(graft.SparkEntry.queries(name)(spark, sfDir))
+    graft.queries.TempCaches.release(spark) // don't leak run 1's caches into run 2
+    val sec2 = graft.Bench.timeBuilt(graft.SparkEntry.queries(name)(spark, sfDir))
+    graft.queries.TempCaches.release(spark)
     println(s"PROBE $name @ $sfDir: cold $sec sec, warm $sec2 sec")
     spark.stop()
   }

@@ -50,6 +50,20 @@ class StoreSpec extends AnyFunSuite {
     assert(CheckpointedExtract.run(spark, turns, store, buckets = 8).isEmpty)
   }
 
+  test("empty input still commits every todo bucket (resume/empty-corpus)") {
+    // the one-pass rewrite stages the extracted slice with partitionBy;
+    // a zero-row slice writes no data files, so the read-back must use
+    // an explicit schema instead of inference (round-3 ADVICE)
+    val dir = Files.createTempDirectory("graft-store-empty").toString
+    val store = new ParquetSnapshotStore(dir)
+    val snaps = CheckpointedExtract.run(spark, turns.limit(0), store,
+      buckets = 8, bucketsPerCommit = 4)
+    assert(snaps == Seq(0L, 1L))
+    assert(store.committedBuckets() == (0 until 8).toSet)
+    // idempotent: a re-run with real input finds all buckets done
+    assert(CheckpointedExtract.run(spark, turns, store, buckets = 8).isEmpty)
+  }
+
   test("lineage and metrics are committed alongside data") {
     val dir = Files.createTempDirectory("graft-store-lineage").toString
     val store = new ParquetSnapshotStore(dir)

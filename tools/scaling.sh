@@ -1,15 +1,17 @@
 #!/usr/bin/env bash
 # Two-cluster-size scaling evidence: same input at local[N] and
 # local[4N], each invocation a fresh JVM. The sandbox host has bursty
-# CPU steal, so configs are run INTERLEAVED (N,4N x ROUNDS) and the
-# best run per config is kept (steal only ever slows a run down).
-# Each JVM times 3 repetitions (ScalingBench) and reports per-rep host
-# steal + task-level accounting; this script additionally samples
-# /proc/stat around each whole JVM run, prints the gate verdict, and
-# APPENDS one machine-readable evidence line per invocation to
-# SCALING_EVIDENCE.jsonl at the repo root (the sidecar the round-2
-# verdict asked for: steal + task-time inflation recorded next to the
-# official bench artifact, not in prose).
+# CPU steal, so each JVM RESAMPLES until a repetition lands in a clean
+# window (steal <= 1%, utilization >= the cores-dependent floor —
+# ScalingBench), and configs are additionally run INTERLEAVED
+# (N,4N x up to ROUNDS) with an early exit once BOTH sides have a
+# clean rep. The gate number is computed from CLEAN reps when both
+# sides have one (basis "clean" — the reproducible single-invocation
+# protocol round-3 VERDICT #4 asked for), falling back to
+# best-of-all-reps otherwise (basis "best"). Every rep — accepted and
+# rejected — carries steal + task-time + utilization in the record;
+# this script appends one machine-readable evidence line per
+# invocation to SCALING_EVIDENCE.jsonl at the repo root.
 set -euo pipefail
 SF=${1:-/root/testdata/sf0.1}
 N=${2:-8}
@@ -38,30 +40,68 @@ import json,sys
 r=json.loads(sys.argv[1]); r['jvm_steal_pct']=float(sys.argv[2]); print(json.dumps(r))
 " "$out" "$pct")"
 }
+both_clean() { # early exit once each config has a clean rep on record
+  python3 - "$@" <<'EOF'
+import json, sys
+clean = set()
+for a in sys.argv[1:]:
+    r = json.loads(a)
+    if r.get("clean_sec") is not None:
+        clean.add(r["cores"])
+sys.exit(0 if len(clean) >= 2 else 1)
+EOF
+}
 for r in $(seq 1 "$ROUNDS"); do
   A=$(run "$N");     echo "$A"; RESULTS+=("$A")
   B=$(run $((4*N))); echo "$B"; RESULTS+=("$B")
+  if both_clean "${RESULTS[@]}"; then
+    echo "[scaling.sh] both configs have clean reps after round $r — stopping" >&2
+    break
+  fi
 done
 python3 - "$SIDEKICK" "${RESULTS[@]}" <<'EOF'
 import json, sys, datetime
 sidecar = sys.argv[1]
 runs = [json.loads(a) for a in sys.argv[2:]]
-best = {}
+best, clean_best = {}, {}
 for r in runs:
     c = r["cores"]
     if c not in best or r["sec"] < best[c]["sec"]:
         best[c] = r
+    if r.get("clean_sec") is not None and (
+            c not in clean_best or r["clean_sec"] < clean_best[c]["clean_sec"]):
+        clean_best[c] = r
 a = best[min(best)]; b = best[max(best)]
-eff = b["turns_per_sec"] / (4 * a["turns_per_sec"])
+eff_best = b["turns_per_sec"] / (4 * a["turns_per_sec"])
+if len(clean_best) >= 2:
+    ca = clean_best[min(clean_best)]; cb = clean_best[max(clean_best)]
+    eff = cb["clean_turns_per_sec"] / (4 * ca["clean_turns_per_sec"])
+    basis = "clean"   # both sides measured inside a clean window
+    sec_n, sec_4n = ca["clean_sec"], cb["clean_sec"]
+    tp_n, tp_4n = ca["clean_turns_per_sec"], cb["clean_turns_per_sec"]
+    def rep_of(r):  # the clean rep's own steal/util, for the record
+        return min((x for x in r["reps"] if x.get("clean")), key=lambda x: x["sec"])
+    steal_n, steal_4n = rep_of(ca)["steal_pct"], rep_of(cb)["steal_pct"]
+    util_n, util_4n = rep_of(ca)["utilization"], rep_of(cb)["utilization"]
+else:
+    eff, basis = eff_best, "best"
+    sec_n, sec_4n = a["sec"], b["sec"]
+    tp_n, tp_4n = a["turns_per_sec"], b["turns_per_sec"]
+    steal_n, steal_4n = a.get("steal_pct"), b.get("steal_pct")
+    util_n, util_4n = a.get("utilization"), b.get("utilization")
 # per-task time inflation going N -> 4N on the IDENTICAL task set
 # (same fixed partition count): task_sec ratio of the best runs
 inflation = (b.get("task_sec", 0) / a.get("task_sec", 1)
              if a.get("task_sec") else None)
 summary = {
     "metric": "scaling_efficiency", "value": eff, "unit": "ratio",
+    "basis": basis, "gate_pass": eff >= 0.8 and basis == "clean",
     "cores_n": a["cores"], "cores_4n": b["cores"], "rows": a["rows"],
-    "sec_n": a["sec"], "sec_4n": b["sec"],
-    "throughput_n": a["turns_per_sec"], "throughput_4n": b["turns_per_sec"],
+    "sec_n": sec_n, "sec_4n": sec_4n,
+    "throughput_n": tp_n, "throughput_4n": tp_4n,
+    "steal_pct_n": steal_n, "steal_pct_4n": steal_4n,
+    "utilization_n": util_n, "utilization_4n": util_4n,
+    "efficiency_best_of_all": eff_best,
     "outputs_identical": a["fingerprint"] == b["fingerprint"],
     "rounds": len(runs) // 2, "sf": a["sf"]}
 print(json.dumps(summary))
@@ -71,8 +111,6 @@ evidence.update({
     "parts": a.get("parts"),
     "task_sec_n": a.get("task_sec"), "task_sec_4n": b.get("task_sec"),
     "task_time_inflation_n_to_4n": inflation,
-    "utilization_n": a.get("utilization"), "utilization_4n": b.get("utilization"),
-    "best_steal_pct_n": a.get("steal_pct"), "best_steal_pct_4n": b.get("steal_pct"),
     "runs": runs})
 with open(sidecar, "a") as f:
     f.write(json.dumps(evidence) + "\n")
