@@ -77,12 +77,14 @@ object Bench {
   /** Clean-window predicate thresholds. Steal max: 1%. Utilization
     * floor falls with core count (more cores ⇒ longer scheduling
     * tails on the same fixed task set; measured clean windows:
-    * ~0.96 at 4c, ~0.92 at 16c). Env-overridable. */
+    * ~0.96-0.99 at 4c, 0.88-0.93 at 16c — a 0.90 16c floor rejected a
+    * 0.8%-steal 107.7k t/s rep at util 0.8976, so the floor sits just
+    * under the healthy band). Env-overridable. */
   def cleanStealMax: Double =
     sys.env.get("SPARK_GRAFT_CLEAN_STEAL_MAX").map(_.toDouble).getOrElse(1.0)
   def cleanUtilMin(cores: Int): Double =
     sys.env.get("SPARK_GRAFT_CLEAN_UTIL_MIN").map(_.toDouble).getOrElse {
-      if (cores <= 8) 0.93 else if (cores <= 16) 0.90 else 0.87
+      if (cores <= 8) 0.93 else if (cores <= 16) 0.88 else 0.85
     }
 
   /** Sums executor task time across all tasks that END between
@@ -171,6 +173,15 @@ object Bench {
   private def headlineSamples(cpus: Int, round: Int, corpusDir: String,
                               minTimed: Int, maxTimed: Int,
                               ctxBudgetSec: Long): Seq[Sample] = {
+    // two clean reps, not one: a single clean window can sit at a low
+    // CPU-frequency plateau invisible to steal/utilization
+    val cleanTarget = sys.env.get("SPARK_GRAFT_CLEAN_REPS").map(_.toInt).getOrElse(2)
+    // the context clock starts BEFORE cache-build + warm-up: in a
+    // throttle window those alone can eat minutes (run B: a 32c
+    // context burned 260 s before its first timed rep), and the cap
+    // must bound the context's TOTAL cost
+    val t0 = System.nanoTime()
+    def elapsed: Long = (System.nanoTime() - t0) / 1000000000L
     val spark = session(cpus)
     try {
       val listener = new TaskTimeListener
@@ -182,13 +193,11 @@ object Bench {
       def job = pipeline.ExtractJob
         .runTyped(spark, turns, repartitionInput = false).toDF()
       time(job) // context warm-up (JIT persists JVM-wide)
-      val t0 = System.nanoTime()
-      def elapsed: Long = (System.nanoTime() - t0) / 1000000000L
       val samples = scala.collection.mutable.ArrayBuffer[Sample]()
       var done = false
       while (!done) {
         samples += timedRep(cpus, round, listener)(time(job))
-        done = (samples.size >= minTimed && samples.exists(_.clean)) ||
+        done = (samples.size >= minTimed && samples.count(_.clean) >= cleanTarget) ||
           samples.size >= maxTimed || elapsed >= ctxBudgetSec
       }
       samples.toSeq
@@ -232,22 +241,34 @@ object Bench {
         Seq(cpus -> 1, smallCpus -> 1).distinct ++
           (2 to rounds).flatMap(r => Seq(cpus -> r, smallCpus -> r).distinct) ++
           Seq(cpus -> (rounds + 1), cpus -> (rounds + 2))
+      def runCtx(c: Int, r: Int): Unit =
+        try {
+          val ss = headlineSamples(c, r, corpusDir, minTimed, maxTimed, ctxBudgetSec)
+          samples ++= ss
+          val best = ss.map(_.sec).min
+          System.err.println(s"[bench] round $r cores=$c best=$best " +
+            s"clean=${ss.count(_.clean)}/${ss.size} " +
+            s"secs=${ss.map(_.sec).mkString(",")} steal%=${ss.map(_.stealPct).mkString(",")} " +
+            s"util=${ss.map(_.util).mkString(",")} tps=${rows / best}")
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] headline round $r cores=$c FAILED: $e")
+        }
       plan.foreach { case (c, r) =>
-        if (r == 1 || elapsedSec < budgetSec) {
-          try {
-            val ss = headlineSamples(c, r, corpusDir, minTimed, maxTimed, ctxBudgetSec)
-            samples ++= ss
-            val best = ss.map(_.sec).min
-            System.err.println(s"[bench] round $r cores=$c best=$best " +
-              s"clean=${ss.count(_.clean)}/${ss.size} " +
-              s"secs=${ss.map(_.sec).mkString(",")} steal%=${ss.map(_.stealPct).mkString(",")} " +
-              s"util=${ss.map(_.util).mkString(",")} tps=${rows / best}")
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] headline round $r cores=$c FAILED: $e")
-          }
-        } else System.err.println(
+        if (r == 1 || elapsedSec < budgetSec) runCtx(c, r)
+        else System.err.println(
           s"[bench] budget ${budgetSec}s exhausted after ${elapsedSec}s — skipping round $r cores=$c")
+      }
+      // RESCUE: the 4N number IS the headline — if every 4N sample so
+      // far is dirty (run B: one throttled 32c context ate the budget
+      // and the official headline recorded the throttle), spend one
+      // ctx-capped context beyond the budget rather than publish a
+      // steal reading as the engine's number. The artifact keeps the
+      // dirty samples either way.
+      if (!samples.exists(s => s.cores == cpus && s.clean)) {
+        System.err.println(s"[bench] no clean $cpus-core sample after plan — rescue context")
+        runCtx(cpus, 98)
+        if (!samples.exists(s => s.cores == cpus && s.clean)) runCtx(cpus, 99)
       }
     } finally { // corpus cleanup on every exit path (round-3 ADVICE)
       try {
@@ -278,7 +299,7 @@ object Bench {
     val sweepListener = new TaskTimeListener
     spark.sparkContext.addSparkListener(sweepListener)
     val results = SparkEntry.registry.map { q =>
-      val s =
+      val s0 =
         try timedRep(cpus, 0, sweepListener)(timeBuilt(q.fn(spark, sfDir)))
         catch {
           case e: Throwable =>
@@ -288,6 +309,11 @@ object Bench {
           queries.TempCaches.release(spark) // per-query cache hygiene
           spark.catalog.clearCache()
         }
+      // sweep clean = steal-only: single queries rarely saturate all
+      // cores, so the headline's utilization floor doesn't apply (the
+      // util value stays in the record for attribution)
+      val s = s0.copy(clean =
+        s0.sec > 0 && s0.stealPct >= 0 && s0.stealPct <= cleanStealMax)
       System.err.println(s"[bench] sweep ${q.name} sec=${s.sec} " +
         s"steal%=${s.stealPct} task_sec=${s.taskSec} util=${s.util} clean=${s.clean}")
       (q.name, s)

@@ -46,6 +46,10 @@ object ScalingBench {
     val maxTimed = sys.env.get("SPARK_GRAFT_MAX_TIMED").map(_.toInt).getOrElse(10)
     val repBudgetSec = sys.env.get("SPARK_GRAFT_REP_BUDGET_SEC").map(_.toLong)
       .getOrElse(240L)
+    // require TWO clean reps: one clean window can still sit at a low
+    // CPU-frequency plateau that steal/utilization cannot see; a
+    // second sample costs seconds and the min is kept
+    val cleanTarget = sys.env.get("SPARK_GRAFT_CLEAN_REPS").map(_.toInt).getOrElse(2)
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -88,7 +92,7 @@ object ScalingBench {
       System.err.println(s"[scaling] cores=$cores rep=${reps.size} wall=${r.sec} " +
         s"taskTimeSum=${r.taskSec}s steal=${r.stealPct}% " +
         s"utilization=${r.util} clean=${r.clean}")
-      done = (reps.size >= minTimed && reps.exists(_.clean)) ||
+      done = (reps.size >= minTimed && reps.count(_.clean) >= cleanTarget) ||
         reps.size >= maxTimed || elapsed >= repBudgetSec
     }
     val best = reps.minBy(_.sec)

@@ -83,12 +83,21 @@ if len(clean_best) >= 2:
         return min((x for x in r["reps"] if x.get("clean")), key=lambda x: x["sec"])
     steal_n, steal_4n = rep_of(ca)["steal_pct"], rep_of(cb)["steal_pct"]
     util_n, util_4n = rep_of(ca)["utilization"], rep_of(cb)["utilization"]
+    task_n, task_4n = rep_of(ca)["task_sec"], rep_of(cb)["task_sec"]
 else:
     eff, basis = eff_best, "best"
     sec_n, sec_4n = a["sec"], b["sec"]
     tp_n, tp_4n = a["turns_per_sec"], b["turns_per_sec"]
     steal_n, steal_4n = a.get("steal_pct"), b.get("steal_pct")
     util_n, util_4n = a.get("utilization"), b.get("utilization")
+    task_n, task_4n = a.get("task_sec"), b.get("task_sec")
+# ATTRIBUTION metric, not the gate: both configs run the IDENTICAL
+# task set, so task_sec(4N)/task_sec(N) > 1 means the host delivered
+# slower cycles at the higher thread count (shared-VM frequency /
+# bandwidth cap — executors on a real cluster don't share one VM).
+# eff_task_normalized = what the wall ratio would read at flat
+# per-task cost. Published beside the wall-basis gate number.
+eff_tasknorm = (eff * task_4n / task_n) if task_n and task_4n else None
 # per-task time inflation going N -> 4N on the IDENTICAL task set
 # (same fixed partition count): task_sec ratio of the best runs
 inflation = (b.get("task_sec", 0) / a.get("task_sec", 1)
@@ -101,6 +110,8 @@ summary = {
     "throughput_n": tp_n, "throughput_4n": tp_4n,
     "steal_pct_n": steal_n, "steal_pct_4n": steal_4n,
     "utilization_n": util_n, "utilization_4n": util_4n,
+    "task_sec_sel_n": task_n, "task_sec_sel_4n": task_4n,
+    "efficiency_task_normalized": eff_tasknorm,
     "efficiency_best_of_all": eff_best,
     "outputs_identical": a["fingerprint"] == b["fingerprint"],
     "rounds": len(runs) // 2, "sf": a["sf"]}
