@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * Decode status (round 4): IMAGE payloads from
+  * Decode status (round 4): every media kind decodes for REAL with
+  * zero codec dependencies. IMAGE payloads from
   * [[Multimodal.syntheticAssetsDecodable]] are genuine PNGs encoded
-  * and decoded with the JDK's `javax.imageio` (zero external jars) —
-  * [[PngCodec]]; AUDIO payloads are genuine RIFF/WAVE 16-bit PCM
-  * files encoded and decoded byte-for-byte by [[WavCodec]] (PCM needs
-  * no codec library — header + raw little-endian samples); only VIDEO
-  * decode remains the deterministic byte-level [[StubCodec]] fake,
-  * clearly marked, because the JDK ships no video codec (in
-  * production that branch swaps to a codec library without touching
-  * the Spark plumbing).
+  * and decoded with the JDK's `javax.imageio` — [[PngCodec]]; AUDIO
+  * payloads are genuine RIFF/WAVE 16-bit PCM files encoded and parsed
+  * byte-for-byte by [[WavCodec]]; VIDEO payloads are genuine RIFF/AVI
+  * files with uncompressed 24-bit DIB frames encoded and parsed by
+  * [[AviCodec]]. The byte-fold [[StubCodec]] survives only as the
+  * fallback for undecodable payloads (a production build routes
+  * compressed formats to a codec library there, without touching the
+  * Spark plumbing).
   * [[Multimodal.syntheticAssets]] stays pure column arithmetic so the
   * metadata-only plans (q31 resize, q32 frame-sample) keep their
   * DuckDB value oracles — PNG byte streams are not SQL-expressible.
@@ -229,6 +230,194 @@ object Multimodal {
       catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Real AVI codec over uncompressed DIB frames — zero codec
+    * dependencies, completing the media set ([[PngCodec]] images,
+    * [[WavCodec]] audio): AVI is a RIFF container, and 'DIB '
+    * (BI_RGB, 24-bit) frames are raw bottom-up BGR rows padded to
+    * 4 bytes, so encode/decode is container walking + pixel layout,
+    * exactly like WAV. Encodes a deterministic frame sequence (pixels
+    * a pure integer function of (seed, frame, x, y) — [[pixel]]) as a
+    * spec-conformant RIFF('AVI ') with hdrl (avih + strl{strh,strf})
+    * and movi('00db' frames); decodes by walking the chunk tree back
+    * into exact RGB pixels. Raw DIB is lossless — frames round-trip
+    * bit-exactly and the features depend only on decoded pixels. */
+  object AviCodec {
+    val FeatureDim = 16
+    val Fps = 10
+
+    /** Tiny real frame geometry derived from the doc's char count. */
+    def dimsFor(nChars: Long): (Int, Int, Int) = // (width, height, frames)
+      (8 + (math.abs(nChars) % 9).toInt, 8 + (math.abs(nChars * 3) % 7).toInt,
+        4 + (math.abs(nChars) % 5).toInt)
+
+    /** 24-bit RGB pixel — pure function of (seed, frame, x, y). */
+    def pixel(seed: Long, f: Int, x: Int, y: Int): Int = {
+      val h = (seed * 1000003L + f * 8191L + x * 131L + y * 31L + 11L) % 1000000007L
+      (math.abs(h) % 0x1000000L).toInt
+    }
+
+    /** frames(f)(y * w + x) = 0xRRGGBB, row-major top-down. */
+    def framesFor(seed: Long, w: Int, h: Int, n: Int): Array[Array[Int]] =
+      Array.tabulate(n)(f =>
+        Array.tabulate(h * w)(i => pixel(seed, f, i % w, i / w)))
+
+    private def fourcc(bb: java.nio.ByteBuffer, s: String): Unit =
+      bb.put(s.getBytes("US-ASCII"))
+
+    /** DIB rows are padded to 4-byte boundaries. */
+    private def stride(w: Int): Int = (w * 3 + 3) & ~3
+
+    def encode(frames: Array[Array[Int]], w: Int, h: Int): Array[Byte] = {
+      val frameBytes = stride(w) * h
+      val moviSize = 4 + frames.length * (8 + frameBytes)
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fourcc(bb, "RIFF"); bb.putInt(riffSize); fourcc(bb, "AVI ")
+      fourcc(bb, "LIST"); bb.putInt(hdrlSize); fourcc(bb, "hdrl")
+      fourcc(bb, "avih"); bb.putInt(56)
+      bb.putInt(1000000 / Fps) // us per frame
+      bb.putInt(frameBytes * Fps) // max bytes/sec
+      bb.putInt(0); bb.putInt(0) // padding, flags
+      bb.putInt(frames.length); bb.putInt(0); bb.putInt(1) // total, initial, streams
+      bb.putInt(frameBytes); bb.putInt(w); bb.putInt(h)
+      (0 until 4).foreach(_ => bb.putInt(0)) // reserved
+      fourcc(bb, "LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc(bb, "strl")
+      fourcc(bb, "strh"); bb.putInt(56)
+      fourcc(bb, "vids"); fourcc(bb, "DIB ") // type, handler
+      bb.putInt(0); bb.putInt(0); bb.putInt(0) // flags, prio+lang, initial
+      bb.putInt(1); bb.putInt(Fps) // scale, rate
+      bb.putInt(0); bb.putInt(frames.length) // start, length
+      bb.putInt(frameBytes); bb.putInt(-1); bb.putInt(0) // bufSize, quality, sampleSize
+      bb.putShort(0); bb.putShort(0); bb.putShort(w.toShort); bb.putShort(h.toShort)
+      fourcc(bb, "strf"); bb.putInt(40) // BITMAPINFOHEADER
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24) // planes, bit count
+      bb.putInt(0); bb.putInt(frameBytes) // BI_RGB, image size
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // ppm, colors
+      fourcc(bb, "LIST"); bb.putInt(moviSize); fourcc(bb, "movi")
+      frames.foreach { px =>
+        fourcc(bb, "00db"); bb.putInt(frameBytes)
+        var y = h - 1 // DIB rows are bottom-up
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val rgb = px(y * w + x)
+            bb.put((rgb & 0xff).toByte)           // B
+            bb.put(((rgb >> 8) & 0xff).toByte)    // G
+            bb.put(((rgb >> 16) & 0xff).toByte)   // R
+            x += 1
+          }
+          var pad = stride(w) - w * 3
+          while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+          y -= 1
+        }
+      }
+      bb.array()
+    }
+
+    final case class Avi(width: Int, height: Int, frames: Array[Array[Int]])
+
+    /** Parse by walking the RIFF tree: BITMAPINFOHEADER from
+      * strf (dims + 24-bit BI_RGB check), every 00db/00dc chunk under
+      * movi decoded from padded bottom-up BGR back to row-major RGB.
+      * Throws on anything that is not an uncompressed 24-bit AVI. */
+    def decode(bytes: Array[Byte]): Avi = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      require(tag() == "RIFF", "not a RIFF file")
+      bb.getInt
+      require(tag() == "AVI ", "not an AVI file")
+      var dims: Option[(Int, Int)] = None
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = tag()
+          val size = bb.getInt
+          require(size >= 0 && bb.position() + size <= end, s"bad chunk size $size")
+          val next = bb.position() + size + (size & 1)
+          id match {
+            case "LIST" => tag(); walk(next) // descend (hdrl/strl/movi)
+            case "strf" =>
+              require(bb.getInt == 40, "not a BITMAPINFOHEADER")
+              val w = bb.getInt; val h = bb.getInt
+              bb.getShort // planes
+              require(bb.getShort == 24, "not 24-bit")
+              require(bb.getInt == 0, "compressed AVI (not BI_RGB)")
+              dims = Some((w, h))
+            case "00db" | "00dc" =>
+              val (w, h) = dims.getOrElse(
+                throw new IllegalArgumentException("frame before strf"))
+              require(size >= stride(w) * h, "short frame")
+              val px = new Array[Int](w * h)
+              val base = bb.position()
+              var y = 0
+              while (y < h) {
+                val row = base + (h - 1 - y) * stride(w) // bottom-up
+                var x = 0
+                while (x < w) {
+                  val b = bytes(row + x * 3) & 0xff
+                  val g = bytes(row + x * 3 + 1) & 0xff
+                  val r = bytes(row + x * 3 + 2) & 0xff
+                  px(y * w + x) = (r << 16) | (g << 8) | b
+                  x += 1
+                }
+                y += 1
+              }
+              frames += px
+            case _ => () // avih/strh/idx1/foreign: skip
+          }
+          bb.position(next)
+        }
+      }
+      walk(bytes.length)
+      require(frames.nonEmpty, "no video frames")
+      val (w, h) = dims.get
+      Avi(w, h, frames.toArray)
+    }
+
+    /** Mean luminance over 4 temporal buckets × 2×2 spatial cells
+      * (16 dims), normalized to [0,1] — integer sums, one double
+      * divide per cell (deterministic). */
+    def featuresOf(frames: Array[Array[Int]], w: Int, h: Int): Array[Float] = {
+      val acc = new Array[Long](FeatureDim)
+      val n = new Array[Long](FeatureDim)
+      var f = 0
+      while (f < frames.length) {
+        val t = math.min(3, f * 4 / frames.length)
+        var i = 0
+        while (i < frames(f).length) {
+          val x = i % w; val y = i / w
+          val cell = t * 4 + math.min(1, y * 2 / h) * 2 + math.min(1, x * 2 / w)
+          val rgb = frames(f)(i)
+          acc(cell) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          n(cell) += 1
+          i += 1
+        }
+        f += 1
+      }
+      val out = new Array[Float](FeatureDim)
+      var c = 0
+      while (c < FeatureDim) {
+        if (n(c) > 0) out(c) = (acc(c).toDouble / (n(c) * 3.0 * 255.0)).toFloat
+        c += 1
+      }
+      out
+    }
+
+    /** Decode + featurize; None when the payload is not a decodable
+      * uncompressed AVI (stub fallback path). */
+    def decodeFeatures(avi: Array[Byte]): Option[Array[Float]] =
+      try {
+        val a = decode(avi)
+        Some(featuresOf(a.frames, a.width, a.height))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Deterministic synthetic assets derived from `documents` — pure
     * column arithmetic (same determinism contract as TranscriptGen).
     * payload = 4-byte magic + 32 md5-derived bytes. */
@@ -251,21 +440,19 @@ object Multimodal {
         ((col("n_chars") * 997) % 600000).cast("long").as("duration_ms")).as("meta"))
   }
 
-  /** Decodable variant of [[syntheticAssets]]: image payloads are
-    * REAL PNGs ([[PngCodec.encode]], JDK ImageIO — pixels a pure
-    * function of (doc_id, n_chars)); audio payloads are REAL RIFF/WAVE
-    * PCM files ([[WavCodec.encode]] — samples a pure function of
-    * (doc_id, n_chars)); video payloads keep the magic+md5 byte layout
-    * of [[syntheticAssets]] (no JDK video codec). Built in a narrow
-    * mapPartitions — payloads stay opaque binary, one row per doc, no
-    * shuffle. */
+  /** Decodable variant of [[syntheticAssets]]: every payload is a
+    * REAL media file, decodable with zero codec dependencies — images
+    * are PNGs ([[PngCodec.encode]], JDK ImageIO), audio is RIFF/WAVE
+    * PCM ([[WavCodec.encode]]), video is RIFF/AVI with uncompressed
+    * DIB frames ([[AviCodec.encode]]); all content a pure function of
+    * (doc_id, n_chars). Built in a narrow mapPartitions — payloads
+    * stay opaque binary, one row per doc, no shuffle. */
   def syntheticAssetsDecodable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"), col("n_chars").cast("long"))
-      .as[(Long, String, Long)]
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text, nChars) =>
+        it.map { case (id, nChars) =>
           val kind = (id % 3) match {
             case 0 => "image"; case 1 => "audio"; case _ => "video"
           }
@@ -277,27 +464,23 @@ object Multimodal {
               WavCodec.encode(
                 WavCodec.samplesFor(id, WavCodec.nSamplesFor(nChars)))
             case _ =>
-              val magic = Array[Byte](0x00, 0x00, 0x00, 0x18) // MP4 box len
-              md.reset()
-              val d1 = md.digest(text.getBytes("UTF-8"))
-              md.reset()
-              val d2 = md.digest((text + "x").getBytes("UTF-8"))
-              magic ++ d1 ++ d2
+              val (w, h, n) = AviCodec.dimsFor(nChars)
+              AviCodec.encode(AviCodec.framesFor(id, w, h, n), w, h)
           }
           (id, kind, payload)
         }
       }.toDF("asset_id", "kind", "payload")
   }
 
-  /** ======== STUB (video only) ========
+  /** ======== STUB (undecodable-payload fallback only) ========
     * Deterministic fake codec: derives "decoded" statistics and a
     * fixed-width feature vector from the payload BYTES (so results
-    * are reproducible anywhere). Image decode is REAL ([[PngCodec]])
-    * and audio decode is REAL ([[WavCodec]]); this stub remains the
-    * video branch (and the fallback for undecodable payloads) because
-    * the JDK ships no video codec — a production build swaps this
-    * body for a codec library; everything around it is
-    * production-shaped.
+    * are reproducible anywhere). Since round 4 every media kind has a
+    * REAL zero-dependency decode path ([[PngCodec]] / [[WavCodec]] /
+    * [[AviCodec]]); this stub remains only as the fallback for
+    * payloads those parsers reject (e.g. the pure-column fakes of
+    * [[syntheticAssets]], or compressed formats a production build
+    * would route to a codec library).
     */
   object StubCodec {
     val FeatureDim = 16
@@ -319,11 +502,11 @@ object Multimodal {
       features: Array[Float], feature_norm: Double)
 
   /** Decode + feature-extract: one batched pass per partition (the
-    * mapInPandas-equivalent batch shape in Scala). Images decode for
-    * real via [[PngCodec]] and audio via [[WavCodec]] (each falling
-    * back to the stub when the payload is not decodable, e.g. the
-    * pure-column fake of [[syntheticAssets]]); video uses the marked
-    * [[StubCodec]]. */
+    * mapInPandas-equivalent batch shape in Scala). Every kind decodes
+    * for real — [[PngCodec]] images, [[WavCodec]] audio, [[AviCodec]]
+    * video — falling back to the marked stub only when the payload is
+    * not decodable (e.g. the pure-column fake of
+    * [[syntheticAssets]]). */
   def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
     import spark.implicits._
     assets.select(col("asset_id"), col("kind"), col("payload"))
@@ -337,7 +520,9 @@ object Multimodal {
             case "audio" =>
               WavCodec.decodeFeatures(payload) // REAL decode (PCM parse)
                 .getOrElse(StubCodec.decode(payload))
-            case _ => StubCodec.decode(payload) // STUB (no JDK video codec)
+            case _ =>
+              AviCodec.decodeFeatures(payload) // REAL decode (DIB frames)
+                .getOrElse(StubCodec.decode(payload))
           }
           val norm = math.sqrt(f.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
           AssetFeatures(id, kind, payload.length, f, norm)

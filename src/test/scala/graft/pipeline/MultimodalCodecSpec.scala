@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * samples, not payload bytes. */
 class MultimodalCodecSpec extends AnyFunSuite {
 
-  import Multimodal.{PngCodec, WavCodec}
+  import Multimodal.{AviCodec, PngCodec, WavCodec}
 
   test("PNG encode → decode round-trips every pixel exactly") {
     val (w, h) = PngCodec.dimsFor(1234L)
@@ -93,6 +93,51 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(WavCodec.decodeFeatures(wav.take(60)).isEmpty)
   }
 
+  test("AVI encode → decode round-trips every frame pixel exactly") {
+    val (w, h, n) = AviCodec.dimsFor(1234L)
+    val frames = AviCodec.framesFor(42L, w, h, n)
+    val avi = AviCodec.encode(frames, w, h)
+    // a real RIFF/AVI byte stream
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val decoded = AviCodec.decode(avi)
+    assert(decoded.width == w && decoded.height == h)
+    assert(decoded.frames.length == n)
+    for (f <- 0 until n)
+      assert(decoded.frames(f).toSeq == frames(f).toSeq, s"frame $f")
+  }
+
+  test("AVI round-trip exact when the DIB stride requires row padding") {
+    // width 9 → row 27 bytes → padded to 28: the bottom-up + padding
+    // path must not smear pixels across rows
+    val (w, h, n) = (9, 5, 3)
+    val frames = AviCodec.framesFor(7L, w, h, n)
+    val decoded = AviCodec.decode(AviCodec.encode(frames, w, h))
+    for (f <- 0 until n)
+      assert(decoded.frames(f).toSeq == frames(f).toSeq, s"frame $f")
+  }
+
+  test("decoded AVI features equal features of the known source frames") {
+    val (w, h, n) = (10, 8, 6)
+    val frames = AviCodec.framesFor(9L, w, h, n)
+    val viaDecode = AviCodec.decodeFeatures(AviCodec.encode(frames, w, h)).get
+    val expected = AviCodec.featuresOf(frames, w, h) // never serialized
+    assert(viaDecode.toSeq == expected.toSeq)
+    assert(viaDecode.length == AviCodec.FeatureDim)
+    assert(viaDecode.forall(f => f >= 0.0f && f <= 1.0f))
+    assert(viaDecode.exists(_ > 0.0f))
+  }
+
+  test("AviCodec.decodeFeatures rejects non-avi payloads (stub fallback path)") {
+    assert(AviCodec.decodeFeatures(Array[Byte](0, 0, 0, 0x18, 1, 2)).isEmpty)
+    // a WAV is RIFF but not AVI — form type must be checked
+    assert(AviCodec.decodeFeatures(
+      WavCodec.encode(WavCodec.samplesFor(3L, 100))).isEmpty)
+    // truncated mid-movi: bad chunk size must reject, not crash
+    val avi = AviCodec.encode(AviCodec.framesFor(3L, 8, 8, 4), 8, 8)
+    assert(AviCodec.decodeFeatures(avi.take(avi.length / 2)).isEmpty)
+  }
+
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
@@ -133,6 +178,24 @@ class MultimodalCodecSpec extends AnyFunSuite {
       assert(r.getSeq[Float](r.fieldIndex("features")).toSeq == expected.toSeq,
         s"asset $id")
       assert(r.getAs[Int]("n_bytes") == 44 + 2 * samples.length) // real WAV
+    }
+  }
+
+  test("extractFeatures decodes video assets with the real codec") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assets = Multimodal.syntheticAssetsDecodable(spark, docs)
+    val rows = Multimodal.extractFeatures(spark, assets)
+      .filter("kind = 'video'").orderBy("asset_id").limit(3).collect()
+    assert(rows.nonEmpty)
+    val nChars = docs.selectExpr("doc_id", "CAST(n_chars AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val (w, h, n) = AviCodec.dimsFor(nChars(id))
+      val expected = AviCodec.featuresOf(AviCodec.framesFor(id, w, h, n), w, h)
+      assert(r.getSeq[Float](r.fieldIndex("features")).toSeq == expected.toSeq,
+        s"asset $id")
+      assert(r.getAs[Int]("n_bytes") > 200) // real AVI, not the 36-byte fake
     }
   }
 
