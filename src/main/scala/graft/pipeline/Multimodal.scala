@@ -531,13 +531,89 @@ object Multimodal {
   }
 
   /** Resize plan: pure metadata transform (no decode) — target dims +
-    * projected payload size; the real resize happens in the same
-    * partition-batched shape as extractFeatures. */
+    * projected payload size; the real resize is [[executeResize]]
+    * (same partition-batched shape as extractFeatures). */
   def resizePlan(assets: DataFrame, maxDim: Int): DataFrame =
     assets.select(col("asset_id"), col("kind"), col("meta"),
       least(col("meta.width"), lit(maxDim)).as("target_width"),
       least(col("meta.height"), lit(maxDim)).as("target_height"),
       length(col("payload")).as("n_bytes"))
+
+  /** Nearest-neighbor downscale factor so max(w,h) ≤ maxDim (integer
+    * source-index mapping — deterministic everywhere). */
+  private def nnIndex(dst: Int, src: Int, i: Int): Int =
+    math.min(src - 1, i * src / dst)
+
+  /** REAL content resize of one payload — decode, transform the
+    * decoded content, re-encode with the same zero-dependency codecs:
+    * images are nearest-neighbor rescaled PNGs, audio is decimated
+    * (every k-th sample so the count fits the budget) PCM, video is
+    * per-frame nearest-neighbor rescaled AVI. Returns None when the
+    * payload is not decodable (callers keep the original). */
+  def resizePayload(kind: String, payload: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    try kind match {
+      case "image" =>
+        val img = PngCodec.decode(payload)
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.max(1.0, math.max(w, h).toDouble / maxDim)
+          val (dw, dh) = (math.max(1, (w / scale).toInt), math.max(1, (h / scale).toInt))
+          val out = new java.awt.image.BufferedImage(
+            dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < dh) {
+            var x = 0
+            while (x < dw) {
+              out.setRGB(x, y, img.getRGB(nnIndex(dw, w, x), nnIndex(dh, h, y)))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          Some(baos.toByteArray)
+        }
+      case "audio" =>
+        val wav = WavCodec.decode(payload)
+        // "resize" = bound the sample count: keep every k-th sample
+        // (rate scales down with it, preserving duration)
+        val budget = maxDim * maxDim / 64 // same byte-budget shape as StubCodec
+        val k = math.max(1, (wav.samples.length + budget - 1) / budget)
+        val out = Array.tabulate(wav.samples.length / k)(i => wav.samples(i * k))
+        Some(WavCodec.encode(out, math.max(1, wav.sampleRate / k)))
+      case "video" =>
+        val avi = AviCodec.decode(payload)
+        val (w, h) = (avi.width, avi.height)
+        val scale = math.max(1.0, math.max(w, h).toDouble / maxDim)
+        val (dw, dh) = (math.max(1, (w / scale).toInt), math.max(1, (h / scale).toInt))
+        val frames = avi.frames.map { px =>
+          Array.tabulate(dh * dw) { i =>
+            px(nnIndex(dh, h, i / dw) * w + nnIndex(dw, w, i % dw))
+          }
+        }
+        Some(AviCodec.encode(frames, dw, dh))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL resize stage over the decodable asset table: one batched
+    * narrow pass per partition (no shuffle, payloads opaque binary),
+    * producing the resized payload + before/after accounting. Assets
+    * whose payloads don't decode keep their original bytes, flagged
+    * `resized = false`. */
+  def executeResize(spark: SparkSession, assets: DataFrame, maxDim: Int): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          resizePayload(kind, payload, maxDim) match {
+            case Some(out) => (id, kind, out, payload.length, out.length, true)
+            case None      => (id, kind, payload, payload.length, payload.length, false)
+          }
+        }
+      }.toDF("asset_id", "kind", "payload", "n_bytes_in", "n_bytes_out", "resized")
+  }
 
   /** Frame-sample: bounded array of sample timestamps per video —
     * array column, not a row explosion. */

@@ -66,6 +66,23 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** REAL content resize over the decodable asset table: decode →
+    * nearest-neighbor rescale (images/video frames) or sample
+    * decimation (audio) → re-encode with the same zero-dependency
+    * codecs. Rows-only (re-encoded byte streams are not
+    * SQL-expressible); pixel/sample-exact behavior is pinned in
+    * MultimodalCodecSpec, and the md5 column makes the driver's
+    * rows-only dump content-sensitive. maxDim=12 so every decodable
+    * kind genuinely transforms at sf geometry (images 16-32 px,
+    * video frames 8-16 px, audio 256-767 samples). */
+  val q34 = Q.noOracle("q34_multimodal_resize_exec") { (s, d) =>
+    val assets = Multimodal.syntheticAssetsDecodable(s, Tables.documents(s, d))
+    Multimodal.executeResize(s, assets, maxDim = 12)
+      .select(col("asset_id"), col("kind"), col("n_bytes_in"),
+        col("n_bytes_out"), col("resized"), md5(col("payload")).as("payload_md5"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Checkpoint/commit/read round-trip through the snapshot store:
     * extraction committed in bucket groups with lineage + metrics,
     * then read back from the snapshot chain. Result must equal the
@@ -81,5 +98,5 @@ object MultimodalQueries {
       .orderBy(col("conv_id"), col("turn_idx"))
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34)
 }

@@ -199,6 +199,64 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("resizePayload: image shrinks to maxDim, pixels are exact nearest-neighbor") {
+    val (w, h) = (20, 17)
+    val png = PngCodec.encode(5L, w, h)
+    val out = Multimodal.resizePayload("image", png, 10).get
+    val img = PngCodec.decode(out)
+    assert(img.getWidth == 10 && img.getHeight == 8) // 17/2 = 8
+    for (y <- 0 until 8; x <- 0 until 10) {
+      val sx = math.min(w - 1, x * w / 10); val sy = math.min(h - 1, y * h / 8)
+      assert((img.getRGB(x, y) & 0xffffff) == PngCodec.pixel(5L, sx, sy),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("resizePayload: audio decimates to the sample budget, samples exact") {
+    val samples = WavCodec.samplesFor(6L, 700)
+    val out = Multimodal.resizePayload("audio", WavCodec.encode(samples), 12).get
+    val wav = WavCodec.decode(out)
+    val budget = 12 * 12 / 64 // 2 → k = 350
+    val k = (700 + budget - 1) / budget
+    assert(wav.samples.length == 700 / k)
+    wav.samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s == samples(i * k), s"sample $i")
+    }
+  }
+
+  test("resizePayload: video rescales every frame, pixels exact nearest-neighbor") {
+    val (w, h, n) = (16, 14, 4)
+    val frames = AviCodec.framesFor(8L, w, h, n)
+    val out = Multimodal.resizePayload("video", AviCodec.encode(frames, w, h), 8).get
+    val avi = AviCodec.decode(out)
+    assert(avi.width == 8 && avi.height == 7)
+    assert(avi.frames.length == n)
+    for (f <- 0 until n; y <- 0 until 7; x <- 0 until 8) {
+      val sx = math.min(w - 1, x * w / 8); val sy = math.min(h - 1, y * h / 7)
+      assert(avi.frames(f)(y * 8 + x) == frames(f)(sy * w + sx),
+        s"frame $f pixel ($x,$y)")
+    }
+  }
+
+  test("executeResize keeps undecodable payloads and flags them") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the pure-column fakes are NOT decodable → resized=false, bytes kept
+    val fakes = Multimodal.syntheticAssets(docs)
+    val rows = Multimodal.executeResize(spark, fakes, maxDim = 12)
+      .orderBy("asset_id").limit(6).collect()
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("resized"))
+      assert(r.getAs[Int]("n_bytes_in") == r.getAs[Int]("n_bytes_out"))
+    }
+    // the decodable table resizes every row
+    val real = Multimodal.executeResize(spark,
+      Multimodal.syntheticAssetsDecodable(spark, docs), maxDim = 12)
+    assert(real.filter("NOT resized").count() == 0)
+    // no payload grows; frames larger than maxDim genuinely shrink
+    assert(real.filter("kind = 'video' AND n_bytes_out > n_bytes_in").count() == 0)
+    assert(real.filter("kind = 'video' AND n_bytes_out < n_bytes_in").count() > 0)
+  }
+
   test("q30 features match the frozen golden fixture (all 500 assets)") {
     // round-3 VERDICT #6: q30 is rows-only for the driver, so decode
     // regressions must fail HERE. Regenerate deliberately with
