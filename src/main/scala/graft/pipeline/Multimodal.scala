@@ -622,4 +622,55 @@ object Multimodal {
       col("asset_id"),
       slice(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs)),
         1, maxFrames).as("sample_ts_ms"))
+
+  final case class SampledFrame(frame_idx: Int, width: Int, height: Int,
+                                png: Array[Byte])
+  final case class ExtractedFrames(
+      asset_id: Long, decoded: Boolean, n_frames: Int,
+      frames: Seq[SampledFrame], frames_md5: String)
+
+  /** REAL frame extraction over video payloads: decode the AVI, keep
+    * every `everyN`-th frame up to `maxFrames`, and re-encode each
+    * sampled frame as a standalone PNG thumbnail ([[PngCodec]]-style
+    * ImageIO write) — the content analogue of [[frameSamplePlan]]'s
+    * timestamp arithmetic. One narrow batched pass per partition;
+    * output is a BOUNDED array column of (frame_idx, png), never a
+    * row explosion; `frames_md5` fingerprints the concatenated PNG
+    * pixel sources so rows are content-sensitive. Undecodable
+    * payloads yield decoded=false with an empty frame array. */
+  def extractFrames(spark: SparkSession, assets: DataFrame,
+                    everyN: Int, maxFrames: Int): DataFrame = {
+    import spark.implicits._
+    assets.filter(col("kind") === "video")
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          try {
+            val avi = AviCodec.decode(payload)
+            val picks = avi.frames.indices.by(everyN).take(maxFrames)
+            val sampled = picks.map { f =>
+              val img = new java.awt.image.BufferedImage(
+                avi.width, avi.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var i = 0
+              while (i < avi.frames(f).length) {
+                img.setRGB(i % avi.width, i / avi.width, avi.frames(f)(i))
+                i += 1
+              }
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", baos)
+              SampledFrame(f, avi.width, avi.height, baos.toByteArray)
+            }
+            md.reset()
+            sampled.foreach(s => md.update(s.png))
+            val hex = md.digest().map(b => f"${b & 0xff}%02x").mkString
+            ExtractedFrames(id, decoded = true, avi.frames.length, sampled, hex)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ExtractedFrames(id, decoded = false, 0, Seq.empty, "")
+          }
+        }
+      }.toDF()
+  }
 }

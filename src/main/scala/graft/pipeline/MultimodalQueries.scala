@@ -83,6 +83,19 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** REAL frame extraction: AVI decode → every 2nd frame, ≤ 4 per
+    * video → PNG thumbnails (bounded array column). Rows-only (PNG
+    * byte streams are not SQL-expressible); frame-pixel exactness is
+    * pinned in MultimodalCodecSpec; frames_md5 makes the driver dump
+    * content-sensitive. */
+  val q35 = Q.noOracle("q35_frame_extract") { (s, d) =>
+    val assets = Multimodal.syntheticAssetsDecodable(s, Tables.documents(s, d))
+    Multimodal.extractFrames(s, assets, everyN = 2, maxFrames = 4)
+      .select(col("asset_id"), col("decoded"), col("n_frames"),
+        size(col("frames")).as("n_sampled"), col("frames_md5"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Checkpoint/commit/read round-trip through the snapshot store:
     * extraction committed in bucket groups with lineage + metrics,
     * then read back from the snapshot chain. Result must equal the
@@ -98,5 +111,5 @@ object MultimodalQueries {
       .orderBy(col("conv_id"), col("turn_idx"))
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35)
 }

@@ -257,6 +257,39 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(real.filter("kind = 'video' AND n_bytes_out < n_bytes_in").count() > 0)
   }
 
+  test("extractFrames: sampled PNG thumbnails decode to the exact source frames") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assets = Multimodal.syntheticAssetsDecodable(spark, docs)
+    val rows = Multimodal.extractFrames(spark, assets, everyN = 2, maxFrames = 4)
+      .orderBy("asset_id").limit(2).collect()
+    assert(rows.nonEmpty)
+    val nChars = docs.selectExpr("doc_id", "CAST(n_chars AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      assert(r.getAs[Boolean]("decoded"))
+      val (w, h, n) = AviCodec.dimsFor(nChars(id))
+      assert(r.getAs[Int]("n_frames") == n)
+      val frames = AviCodec.framesFor(id, w, h, n)
+      val sampled = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("frames"))
+      assert(sampled.map(_.getAs[Int]("frame_idx")) ==
+        (0 until n by 2).take(4).toSeq)
+      sampled.foreach { s =>
+        val img = PngCodec.decode(s.getAs[Array[Byte]]("png"))
+        assert(img.getWidth == w && img.getHeight == h)
+        val f = s.getAs[Int]("frame_idx")
+        for (y <- 0 until h; x <- 0 until w)
+          assert((img.getRGB(x, y) & 0xffffff) == frames(f)(y * w + x),
+            s"asset $id frame $f pixel ($x,$y)")
+      }
+    }
+    // undecodable payloads are flagged, not dropped or crashed
+    val fakeRows = Multimodal.extractFrames(spark,
+      Multimodal.syntheticAssets(docs), everyN = 2, maxFrames = 4)
+    assert(fakeRows.filter("decoded").count() == 0)
+    assert(fakeRows.count() > 0)
+  }
+
   test("q30 features match the frozen golden fixture (all 500 assets)") {
     // round-3 VERDICT #6: q30 is rows-only for the driver, so decode
     // regressions must fail HERE. Regenerate deliberately with
