@@ -88,6 +88,26 @@ class PlanSpec extends AnyFunSuite {
     assert(generates <= 4, s"unexpected explode count $generates")
   }
 
+  test("q30/q34/q35: multimodal decode stages are narrow — zero shuffles") {
+    // the 100 TB property: payloads stay opaque binary inside
+    // mapPartitions; no Exchange may appear anywhere in the plan
+    // (the final orderBy is the only allowed one)
+    for (name <- Seq("q30_multimodal_features", "q34_multimodal_resize_exec",
+                     "q35_frame_extract")) {
+      val p = plan(name)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      // orderBy(asset_id) introduces exactly one range exchange
+      assert(exchanges <= 1, s"$name has $exchanges exchanges:\n${p.take(2000)}")
+    }
+  }
+
+  test("q34: asset build reads only (doc_id, n_chars) from the documents scan") {
+    val p = plan("q34_multimodal_resize_exec")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("n_chars"), readSchema)
+    assert(!readSchema.contains("text"), readSchema) // body pruned away
+  }
+
   test("q10: cosine runs inside codegen (no interpreted lambda in the join)") {
     val p = plan("q10_cosine_topk")
     assert(p.contains("cosine_sim"), p.take(2000))
