@@ -186,26 +186,13 @@ object TextPipeline {
     * stays a true set similarity of what was joined. Kept as a
     * separate query (own oracle) so q07's uncapped oracle parity is
     * untouched. */
-  val q18 = Q(
-    "q18_shingle_jaccard_capped",
-    s"""WITH words AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-       |        FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
-       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle
-       |         HAVING COUNT(*) <= $HotShingleDfCap),
-       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
-       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
-       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT doc1, doc2, common,
-       |  CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) AS jaccard
-       |FROM pairs JOIN cnt c1 ON doc1 = c1.doc_id JOIN cnt c2 ON doc2 = c2.doc_id
-       |WHERE CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5
-       |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+  /** Capped-Jaccard near-dup pairs (the q18/q36 engine) over any
+    * (doc_id, text) table: shingle → df-cap hot shingles → self-join →
+    * exact Jaccard ≥ 0.5 on the capped sets. */
+  private def cappedJaccardPairs(docs: DataFrame): DataFrame = {
     // cache: the shingle set feeds BOTH the df computation and the
     // capped join input — uncached it is recomputed per consumer
-    val sh = TempCaches.cached(shingles(Tables.documents(s, d)))
+    val sh = TempCaches.cached(shingles(docs))
     // df per shingle, then an inner (semi-style) join keeps cold ones;
     // at scale this is one extra groupBy on the SAME key the join
     // shuffles on, and it removes the quadratic hot-key blowup
@@ -225,7 +212,79 @@ object TextPipeline {
       .join(cnt.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
       .select(col("doc1"), col("doc2"), col("common"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  /** The q18/q36 pair CTEs over a source relation `src` that provides
+    * (doc_id, text). */
+  private def cappedPairsSql(src: String): String =
+    s"""words AS (SELECT doc_id, $toksSql AS w FROM $src),
+       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       |        FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+       |         HAVING COUNT(*) <= $HotShingleDfCap),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs0 AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |pairs AS (SELECT doc1, doc2, common,
+       |    CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) AS jaccard
+       |  FROM pairs0 JOIN cnt c1 ON doc1 = c1.doc_id JOIN cnt c2 ON doc2 = c2.doc_id
+       |  WHERE CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5)""".stripMargin
+
+  val q18 = Q(
+    "q18_shingle_jaccard_capped",
+    s"""WITH ${cappedPairsSql("documents")}
+       |SELECT doc1, doc2, common, jaccard FROM pairs
+       |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+    cappedJaccardPairs(Tables.documents(s, d))
       .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** End-to-end corpus cleaning — the composite a training-data user
+    * actually runs, as ONE oracle-bearing query: quality gate (q06's
+    * exact keep criteria) → exact dedup (q04: keep the min doc_id per
+    * content hash) → capped-Jaccard near-dup removal (q18's pairs on
+    * the surviving set; the higher doc_id of each pair is dropped).
+    * Scale shape: the quality gate is a scan predicate, exact dedup
+    * shuffles only (md5, doc_id), near-dup runs the df-capped join,
+    * and both removal steps are anti-joins on doc_id. */
+  val q36 = Q(
+    "q36_corpus_clean",
+    s"""WITH q AS (SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text, len($toksSql) AS nt,
+       |           length(regexp_replace(text, '\\s', '', 'g')) AS nw
+       |    FROM documents)
+       |  WHERE nt >= 5 AND nt <= 20000
+       |    AND (CASE WHEN nt=0 THEN 0.0 ELSE CAST(nw AS DOUBLE)/CAST(nt AS DOUBLE) END)
+       |        BETWEEN 2.0 AND 12.0),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+       |s AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+       |${cappedPairsSql("s")},
+       |nd AS (SELECT DISTINCT doc2 AS doc_id FROM pairs)
+       |SELECT s.doc_id, s.lang, CAST(length(s.text) AS BIGINT) AS n_chars_t
+       |FROM s LEFT JOIN nd ON s.doc_id = nd.doc_id
+       |WHERE nd.doc_id IS NULL
+       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("text"),
+      size(toks(col("text"))).cast("long").as("nt"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nw"))
+    val meanWl = when(col("nt") === 0, lit(null))
+      .otherwise(col("nw").cast("double") / col("nt").cast("double"))
+    val quality = base.filter(col("nt") >= 5 && col("nt") <= 20000 &&
+      coalesce(meanWl, lit(0.0)).between(2.0, 12.0))
+    val canon = quality
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val surv = TempCaches.cached(
+      quality.join(canon.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val nd = cappedJaccardPairs(surv.select(col("doc_id"), col("text")))
+      .select(col("doc2").as("doc_id")).distinct()
+    surv.join(nd, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_t"))
+      .orderBy(col("doc_id"))
   }
 
   private val stopwords: Map[String, Seq[String]] = Map(
@@ -512,5 +571,5 @@ object TextPipeline {
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  val all: Seq[Q] = Seq(q04, q05, q06, q07, q11, q12, q13, q14, q18)
+  val all: Seq[Q] = Seq(q04, q05, q06, q07, q11, q12, q13, q14, q18, q36)
 }
