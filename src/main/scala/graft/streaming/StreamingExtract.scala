@@ -40,4 +40,18 @@ object StreamingExtract {
         count(lit(1)).as("n_turns"),
         avg(col("metrics.boilerplate_ratio")).as("avg_boilerplate_ratio"),
         sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_errors"))
+
+  /** Streaming exact dedup by content hash with a bounded-state
+    * watermark (the streaming flavor of q04): each arriving turn is
+    * keyed by md5(text); duplicates arriving within the watermark
+    * horizon are dropped, and state older than the horizon is evicted
+    * — the state store holds one (hash, ts) row per distinct recent
+    * text, never the texts themselves, so state is bounded by the
+    * event rate × horizon, not the corpus. Output rows are the
+    * surviving (first-seen) turns. */
+  def dedupStream(turns: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    turns
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -69,6 +69,28 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(fp(streamed) == fp(batch))
   }
 
+  test("streaming dedup drops in-horizon duplicates, agrees with batch q04 survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // duplicate every text: same micro-batch ⇒ inside any watermark
+    val base = TranscriptGen.fromDocuments(docs.limit(40)).as[Turn].collect().toSeq
+    val dupes = base.map(t => t.copy(conv_id = t.conv_id + "_dup", ts =
+      new java.sql.Timestamp(t.ts.getTime + 1000)))
+    val stream = MemoryStream[Turn]
+    stream.addData(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(base ++ dupes))
+    val q = graft.streaming.StreamingExtract.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("dedup_stream")
+    // exactly one survivor per distinct text — the batch q04 cardinality
+    val distinctTexts = base.map(_.text).distinct.size
+    assert(out.count() == distinctTexts)
+    assert(out.select("content_hash").distinct().count() == distinctTexts)
+  }
+
   test("streaming windowed metrics produce rows under watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
