@@ -108,6 +108,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("text"), readSchema) // body pruned away
   }
 
+  test("q36: cleaning composite joins stay keyed — no nested loop / cartesian") {
+    val p = plan("q36_corpus_clean")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the two removal steps are (semi/anti) joins on doc_id
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
+  }
+
   test("q10: cosine runs inside codegen (no interpreted lambda in the join)") {
     val p = plan("q10_cosine_topk")
     assert(p.contains("cosine_sim"), p.take(2000))
