@@ -199,6 +199,39 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("codec property sweep: 60 seeded geometries round-trip exactly") {
+    // seeded loop instead of scalacheck (no scalatestplus bridge in
+    // the sandbox): odd widths exercise the DIB stride padding, tiny
+    // dims exercise the cell-index clamps
+    val rnd = new scala.util.Random(20260817L)
+    for (i <- 1 to 20) {
+      val (w, h) = (1 + rnd.nextInt(40), 1 + rnd.nextInt(40))
+      val png = PngCodec.encode(i * 7L, w, h)
+      val img = PngCodec.decode(png)
+      assert(img.getWidth == w && img.getHeight == h, s"png iter $i ($w x $h)")
+      val (sx, sy) = (rnd.nextInt(w), rnd.nextInt(h))
+      assert((img.getRGB(sx, sy) & 0xffffff) == PngCodec.pixel(i * 7L, sx, sy),
+        s"png iter $i pixel ($sx,$sy)")
+      assert(PngCodec.decodeFeatures(png).get.toSeq ==
+        PngCodec.featuresOf(img).toSeq)
+    }
+    for (i <- 1 to 20) {
+      val n = 1 + rnd.nextInt(2000)
+      val samples = WavCodec.samplesFor(i * 13L, n)
+      val wav = WavCodec.decode(WavCodec.encode(samples))
+      assert(wav.samples.toSeq == samples.toSeq, s"wav iter $i (n=$n)")
+    }
+    for (i <- 1 to 20) {
+      val (w, h, n) = (1 + rnd.nextInt(24), 1 + rnd.nextInt(24), 1 + rnd.nextInt(8))
+      val frames = AviCodec.framesFor(i * 17L, w, h, n)
+      val avi = AviCodec.decode(AviCodec.encode(frames, w, h))
+      assert(avi.width == w && avi.height == h && avi.frames.length == n,
+        s"avi iter $i ($w x $h x $n)")
+      for (f <- 0 until n)
+        assert(avi.frames(f).toSeq == frames(f).toSeq, s"avi iter $i frame $f")
+    }
+  }
+
   test("resizePayload: image shrinks to maxDim, pixels are exact nearest-neighbor") {
     val (w, h) = (20, 17)
     val png = PngCodec.encode(5L, w, h)
