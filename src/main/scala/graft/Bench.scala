@@ -113,6 +113,18 @@ object Bench {
         s""""task_sec":$taskSec,"utilization":$util,"clean":$clean}"""
   }
 
+  /** Recompute clean flags with the context-relative TASK-TIME floor:
+    * a frequency-throttled window can pass the steal+utilization
+    * predicate (observed: a 107 s rep at 0.84% steal / 0.94 util with
+    * 45x the task_sec of a genuine clean rep — the host ran slow, not
+    * contended), but on an IDENTICAL job the CPU work is constant, so
+    * any rep burning > 1.5x the context's minimum task_sec is not
+    * clean. Applied after every rep (the minimum only improves). */
+  def withTaskFloor(samples: Seq[Sample]): Seq[Sample] = {
+    val m = samples.map(_.taskSec).filter(_ > 0).minOption.getOrElse(0.0)
+    samples.map(s => s.copy(clean = s.clean && m > 0 && s.taskSec <= 1.5 * m))
+  }
+
   /** One timed repetition with steal + task-time accounting. */
   def timedRep(cores: Int, round: Int, listener: TaskTimeListener)
               (body: => Double): Sample = {
@@ -197,10 +209,11 @@ object Bench {
       var done = false
       while (!done) {
         samples += timedRep(cpus, round, listener)(time(job))
-        done = (samples.size >= minTimed && samples.count(_.clean) >= cleanTarget) ||
+        val flagged = withTaskFloor(samples.toSeq)
+        done = (samples.size >= minTimed && flagged.count(_.clean) >= cleanTarget) ||
           samples.size >= maxTimed || elapsed >= ctxBudgetSec
       }
-      samples.toSeq
+      withTaskFloor(samples.toSeq)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

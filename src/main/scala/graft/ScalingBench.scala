@@ -84,17 +84,20 @@ object ScalingBench {
 
     val t0 = System.nanoTime()
     def elapsed: Long = (System.nanoTime() - t0) / 1000000000L
-    val reps = scala.collection.mutable.ArrayBuffer[Bench.Sample]()
+    val raw = scala.collection.mutable.ArrayBuffer[Bench.Sample]()
     var done = false
     while (!done) {
-      val r = Bench.timedRep(cores, reps.size + 1, listener)(Bench.time(job))
-      reps += r
-      System.err.println(s"[scaling] cores=$cores rep=${reps.size} wall=${r.sec} " +
+      val r = Bench.timedRep(cores, raw.size + 1, listener)(Bench.time(job))
+      raw += r
+      System.err.println(s"[scaling] cores=$cores rep=${raw.size} wall=${r.sec} " +
         s"taskTimeSum=${r.taskSec}s steal=${r.stealPct}% " +
         s"utilization=${r.util} clean=${r.clean}")
-      done = (reps.size >= minTimed && reps.count(_.clean) >= cleanTarget) ||
-        reps.size >= maxTimed || elapsed >= repBudgetSec
+      // task-floor: frequency-throttled reps can't count as clean
+      val flagged = Bench.withTaskFloor(raw.toSeq)
+      done = (raw.size >= minTimed && flagged.count(_.clean) >= cleanTarget) ||
+        raw.size >= maxTimed || elapsed >= repBudgetSec
     }
+    val reps = Bench.withTaskFloor(raw.toSeq)
     val best = reps.minBy(_.sec)
     val cleanBest = reps.filter(_.clean) match {
       case s if s.nonEmpty => Some(s.minBy(_.sec))

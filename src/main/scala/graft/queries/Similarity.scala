@@ -276,5 +276,102 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
-  val all: Seq[Q] = Seq(q10, q15, q17, q19)
+  // ---------------- IVF (inverted-file) ANN — the coarse-quantizer
+  // scale path, complementing the sign-LSH family (q15/q19). Layout:
+  // a k-means CODEBOOK of K coarse cells (K grows with n so expected
+  // cell occupancy stays ~128), each vector assigned to its nearest
+  // centroid; a query probes its IvfProbe nearest cells and scores
+  // exact cosine only against their members — candidates are
+  // O(n · probe · 128), never quadratic.
+  //
+  // Determinism (the reason this carries spec-pinned guarantees
+  // despite no SQL oracle): k-means runs on INTEGER-QUANTIZED
+  // vectors (round(x·1024)), so centroid sums are order-independent
+  // and centroids are bit-identical under ANY partitioning — no
+  // floating-point accumulation-order sensitivity, no RNG (init =
+  // the K lowest vec_ids). Assignment argmin tie-breaks on cid via
+  // lexicographic struct min. The codebook (K·dim longs) is the only
+  // driver-side value — a bounded model parameter broadcast into
+  // literal arrays, exactly how FAISS ships its quantizer (and how
+  // annSigs ships hyperplanes); MLlib's KMeans does the same
+  // per-iteration centroid collect.
+  // Measured (graft.tools.ProbeRecall): recall@3 = 1.0 at n=500
+  // (K=4 ≤ probe ⇒ exhaustive — q37 equals exact q10 row-for-row,
+  // IvfSpec) and 0.576 at n=2000 (15 cells, probe 4 ≈ 27% scanned)
+  // vs 0.978 for the q15 sign-LSH on the same input. Honest reading:
+  // THIS corpus's true neighbors are weak (median cosine 0.33 —
+  // near-uniform directions), the adversarial case for coarse-cell
+  // pruning, so the multi-band LSH OR-construction remains the
+  // recommended scale path here; IVF earns its keep on clustered
+  // corpora (real near-dup data), and IvfProbe is the standard
+  // recall/cost knob (FAISS nprobe).
+  private val IvfProbe = 4
+  private val IvfIters = 2
+  private def ivfK(n: Long): Int =
+    math.max(4, math.min(65536, (n / 128).toInt))
+
+  /** Squared L2 distance between the quantized vector column and a
+    * literal centroid (pure codegen'd integer arithmetic). */
+  private def qdist(qv: Column, c: Array[Long]): Column =
+    aggregate(zip_with(qv, typedlit(c), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** (dist, cid) structs against every centroid — argmin/top-probe
+    * are array ops over this bounded array. */
+  private def distArr(qv: Column, cents: Array[Array[Long]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(qdist(qv, c).as("d"), lit(i).as("cid"))
+    }: _*)
+
+  val q37 = Q.noOracle("q37_cosine_ann_ivf") { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = e.count() // metadata-only parquet row count (as annSigs)
+    val k = ivfK(n)
+    val qe = TempCaches.cached(e.select(col("vec_id"),
+      transform(col("embedding"), x => round(x * 1024).cast("long")).as("qv")))
+    // init: the K lowest vec_ids (deterministic, no RNG)
+    var cents: Array[Array[Long]] = qe.orderBy(col("vec_id")).limit(k)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    // Lloyd iterations on the quantized vectors: exact integer sums
+    // (order-independent) + integer-div means ⇒ bit-stable codebook
+    for (_ <- 1 to IvfIters) {
+      val assigned = qe.select(col("vec_id"), col("qv"),
+        array_min(distArr(col("qv"), cents)).getField("cid").as("cid"))
+      val dims = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(v) DIV count(1)").as("cv"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+        .collect() // the codebook: K rows — bounded model parameter
+      val upd = dims.map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+      cents = cents.indices.map(i => upd.getOrElse(i, cents(i))).toArray
+    }
+    // final cell membership + per-vector probe list (IvfProbe nearest
+    // cells; slot 1 is the vector's own cell, so self-cell is always
+    // searched)
+    val probesArr = slice(array_sort(distArr(col("qv"), cents)), 1, IvfProbe)
+    val assigned = TempCaches.cached(qe.select(col("vec_id"),
+      explode(transform(probesArr, x => x.getField("cid"))).as("cid"),
+      array_min(distArr(col("qv"), cents)).getField("cid").as("own_cid")))
+    val members = assigned.filter(col("cid") === col("own_cid"))
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    // a neighbor lives in exactly one cell ⇒ no duplicate candidates
+    val cand = assigned.select(col("vec_id"), col("cid"))
+      .join(members, "cid")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"))
+    val scored = cand
+      .join(e.select(col("vec_id"), col("embedding").as("e1")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("e2")),
+        "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(s, col("e1"), col("e2")).as("sim"))
+    topK(s, scored, 3)
+  }
+
+  val all: Seq[Q] = Seq(q10, q15, q17, q19, q37)
 }

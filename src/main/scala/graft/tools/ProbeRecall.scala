@@ -18,11 +18,14 @@ object ProbeRecall {
     spark.sparkContext.setLogLevel("WARN")
     val exact = graft.SparkEntry.queries("q10_cosine_topk")(spark, sfDir)
       .select("vec_id", "neighbor_id").cache()
-    val ann = graft.SparkEntry.queries("q15_cosine_ann_lsh")(spark, sfDir)
-      .select("vec_id", "neighbor_id")
-    val hit = exact.join(ann, Seq("vec_id", "neighbor_id")).count()
     val tot = exact.count()
-    println(s"RECALL ${hit.toDouble / tot} ($hit/$tot) @ $sfDir")
+    for (name <- Seq("q15_cosine_ann_lsh", "q37_cosine_ann_ivf")) {
+      val ann = graft.SparkEntry.queries(name)(spark, sfDir)
+        .select("vec_id", "neighbor_id")
+      val hit = exact.join(ann, Seq("vec_id", "neighbor_id")).count()
+      println(s"RECALL $name ${hit.toDouble / tot} ($hit/$tot) @ $sfDir")
+      graft.queries.TempCaches.release(spark)
+    }
     spark.stop()
   }
 }
