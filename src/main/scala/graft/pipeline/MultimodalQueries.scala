@@ -7,10 +7,13 @@ import graft.queries.{Q, Tables}
 object MultimodalQueries {
 
   /** Per-asset decoded features via the batched binary pipeline.
-    * Image payloads are genuine PNGs decoded with the JDK's ImageIO
-    * (PngCodec); audio payloads are genuine RIFF/WAVE PCM parsed by
-    * WavCodec; video uses the marked byte-fold stub (no JDK video
-    * codec). Rows-only for the driver, but feature norms are pinned
+    * ALL media kinds decode for real: image payloads are genuine PNGs
+    * decoded with the JDK's ImageIO (PngCodec); audio payloads are
+    * genuine RIFF/WAVE PCM parsed by WavCodec; video payloads are
+    * genuine RIFF/AVI uncompressed-DIB streams parsed by AviCodec.
+    * StubCodec survives only as the undecodable-payload fallback
+    * (e.g. compressed formats). Rows-only for the driver, but feature
+    * norms are pinned
     * against a frozen golden fixture in MultimodalCodecSpec (round-3
     * VERDICT #6) so decode regressions fail a test. Output is
     * per-asset and deterministic (PNG and PCM are lossless, so

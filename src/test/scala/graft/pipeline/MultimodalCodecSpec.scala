@@ -327,6 +327,12 @@ class MultimodalCodecSpec extends AnyFunSuite {
     // round-3 VERDICT #6: q30 is rows-only for the driver, so decode
     // regressions must fail HERE. Regenerate deliberately with
     // graft.tools.FreezeQ30 and review the diff.
+    // NOTE (round-4 ADVICE): the image n_bytes values pin the JDK
+    // ImageIO PNG ENCODER's deflate output size, which is
+    // implementation-dependent — a JDK vendor/version change can fail
+    // this fixture without any real decode regression. That is a
+    // legitimate FreezeQ30 regeneration (review that kind/feature_norm
+    // — the decode-derived values — are unchanged before accepting).
     val src = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/q30_golden_sf0.001.csv"), "UTF-8")
     val golden = try {
