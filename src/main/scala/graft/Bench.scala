@@ -36,10 +36,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    than hoping across contexts;
   *  - host CPU steal is sampled from /proc/stat and task-time
   *    utilization from a SparkListener around every repetition;
+  *  - the task-time floor is GLOBAL across both core configs (the
+  *    task sets are work-identical), so a context whose every rep is
+  *    throttled cannot self-certify against its own plateau; BOTH
+  *    sides get a rescue context when the plan leaves them without a
+  *    globally-clean rep (round 4 rescued only the 4N side and the
+  *    artifact printed a throttled N denominator as efficiency 5.47);
   *  - all per-context minima are reported in `headline_runs`; the
   *    N-vs-4N pair doubles as the in-process two-cluster-size scaling
-  *    evidence (`scaling.efficiency`); the official fresh-JVM
-  *    protocol lives in tools/scaling.sh and BASELINE.md.
+  *    evidence (`scaling.efficiency` — CLEAN-basis on both sides or
+  *    explicitly null, never a throttle artifact); the official
+  *    fresh-JVM protocol lives in tools/scaling.sh and BASELINE.md.
   *
   * Timing uses the `noop` sink so the full plan materializes —
   * `count()` would let Catalyst prune expensive columns (e.g. the
@@ -113,25 +120,80 @@ object Bench {
         s""""task_sec":$taskSec,"utilization":$util,"clean":$clean}"""
   }
 
-  /** Recompute clean flags with the context-relative TASK-TIME floor:
-    * a frequency-throttled window can pass the steal+utilization
+  /** Task-floor rejection factor: identical task sets cost constant
+    * CPU, so a rep burning > factor × the floor is throttled. 1.5
+    * leaves room for the measured legitimate ~1.29× per-task cost at
+    * 4× thread count (shared-VM frequency scaling). */
+  def taskFloorFactor: Double =
+    sys.env.get("SPARK_GRAFT_TASK_FLOOR_FACTOR").map(_.toDouble).getOrElse(1.5)
+
+  /** Recompute clean flags with a TASK-TIME floor: a
+    * frequency-throttled window can pass the steal+utilization
     * predicate (observed: a 107 s rep at 0.84% steal / 0.94 util with
     * 45x the task_sec of a genuine clean rep — the host ran slow, not
     * contended), but on an IDENTICAL job the CPU work is constant, so
-    * any rep burning > 1.5x the context's minimum task_sec is not
-    * clean. Applied after every rep (the minimum only improves). */
-  def withTaskFloor(samples: Seq[Sample]): Seq[Sample] = {
-    val m = samples.map(_.taskSec).filter(_ > 0).minOption.getOrElse(0.0)
-    samples.map(s => s.copy(clean = s.clean && m > 0 && s.taskSec <= 1.5 * m))
+    * any rep burning > taskFloorFactor × the minimum task_sec is not
+    * clean. `extMin` lets the caller thread in a floor observed
+    * OUTSIDE this sample set — round-4 VERDICT #2: when EVERY rep of
+    * the only N-side context is throttled, the context-relative
+    * minimum is itself throttled and rejects nothing; the floor must
+    * be global across BOTH core configs (the task sets are
+    * work-identical). Applied after every rep (the minimum only
+    * improves). */
+  def withTaskFloor(samples: Seq[Sample],
+                    extMin: Double = Double.PositiveInfinity): Seq[Sample] = {
+    val m = math.min(extMin,
+      samples.map(_.taskSec).filter(_ > 0).minOption.getOrElse(Double.PositiveInfinity))
+    samples.map(s => s.copy(clean =
+      s.clean && !m.isInfinite && s.taskSec <= taskFloorFactor * m))
   }
 
-  /** One timed repetition with steal + task-time accounting. */
-  def timedRep(cores: Int, round: Int, listener: TaskTimeListener)
+  /** Block until the listener bus has delivered all pending task-end
+    * events (round-4 ADVICE: delivery is asynchronous — late events
+    * can be missed or bleed into the next rep after reset(),
+    * jittering utilization and the task-floor clean flags). Tries the
+    * real LiveListenerBus flush via reflection (`listenerBus` /
+    * `waitUntilEmpty` are private[spark] — public in bytecode);
+    * falls back to waiting for the observed task count to go stable. */
+  private def drainListenerBus(spark: Option[SparkSession],
+                               listener: TaskTimeListener): Unit = {
+    val flushed = spark.exists { s =>
+      try {
+        val sc = s.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .map { m => m.invoke(bus); true }
+          .orElse(bus.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1 &&
+              m.getParameterTypes()(0) == java.lang.Long.TYPE)
+            .map { m => m.invoke(bus, java.lang.Long.valueOf(5000L)); true })
+          .getOrElse(false)
+      } catch { case _: Throwable => false }
+    }
+    if (!flushed) {
+      val deadline = System.nanoTime() + 2000000000L // 2 s cap
+      var last = -1L
+      var stable = 0
+      while (System.nanoTime() < deadline && stable < 2) {
+        val t = listener.tasks
+        if (t == last) stable += 1 else { stable = 0; last = t }
+        Thread.sleep(25)
+      }
+    }
+  }
+
+  /** One timed repetition with steal + task-time accounting. Pass the
+    * session so task metrics can be fully drained before they are
+    * read (see [[drainListenerBus]]). */
+  def timedRep(cores: Int, round: Int, listener: TaskTimeListener,
+               spark: Option[SparkSession] = None)
               (body: => Double): Sample = {
     listener.reset()
     val (s0, t0) = cpuTicks()
     val sec = body
     val (s1, t1) = cpuTicks()
+    drainListenerBus(spark, listener)
     val steal = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else -1.0
     val util = listener.taskSec / (sec * cores)
     val clean = steal >= 0 && steal <= cleanStealMax && util >= cleanUtilMin(cores)
@@ -184,7 +246,8 @@ object Bench {
     * trips. Returns all repetition samples. */
   private def headlineSamples(cpus: Int, round: Int, corpusDir: String,
                               minTimed: Int, maxTimed: Int,
-                              ctxBudgetSec: Long): Seq[Sample] = {
+                              ctxBudgetSec: Long,
+                              extFloor: Double = Double.PositiveInfinity): Seq[Sample] = {
     // two clean reps, not one: a single clean window can sit at a low
     // CPU-frequency plateau invisible to steal/utilization
     val cleanTarget = sys.env.get("SPARK_GRAFT_CLEAN_REPS").map(_.toInt).getOrElse(2)
@@ -208,12 +271,15 @@ object Bench {
       val samples = scala.collection.mutable.ArrayBuffer[Sample]()
       var done = false
       while (!done) {
-        samples += timedRep(cpus, round, listener)(time(job))
-        val flagged = withTaskFloor(samples.toSeq)
+        samples += timedRep(cpus, round, listener, Some(spark))(time(job))
+        // the floor includes task_secs observed in OTHER contexts of
+        // either core config (work-identical task sets): a wholly
+        // throttled context must keep resampling, not self-certify
+        val flagged = withTaskFloor(samples.toSeq, extFloor)
         done = (samples.size >= minTimed && flagged.count(_.clean) >= cleanTarget) ||
           samples.size >= maxTimed || elapsed >= ctxBudgetSec
       }
-      withTaskFloor(samples.toSeq)
+      withTaskFloor(samples.toSeq, extFloor)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -254,9 +320,17 @@ object Bench {
         Seq(cpus -> 1, smallCpus -> 1).distinct ++
           (2 to rounds).flatMap(r => Seq(cpus -> r, smallCpus -> r).distinct) ++
           Seq(cpus -> (rounds + 1), cpus -> (rounds + 2))
+      // the GLOBAL task-time floor over every sample so far, both
+      // core configs (work-identical task sets — round-4 VERDICT #2)
+      def globalFloor: Double =
+        samples.map(_.taskSec).filter(_ > 0).minOption
+          .getOrElse(Double.PositiveInfinity)
+      def cleanOn(c: Int): Boolean =
+        withTaskFloor(samples.toSeq).exists(s => s.cores == c && s.clean)
       def runCtx(c: Int, r: Int): Unit =
         try {
-          val ss = headlineSamples(c, r, corpusDir, minTimed, maxTimed, ctxBudgetSec)
+          val ss = headlineSamples(c, r, corpusDir, minTimed, maxTimed,
+            ctxBudgetSec, globalFloor)
           samples ++= ss
           val best = ss.map(_.sec).min
           System.err.println(s"[bench] round $r cores=$c best=$best " +
@@ -272,16 +346,19 @@ object Bench {
         else System.err.println(
           s"[bench] budget ${budgetSec}s exhausted after ${elapsedSec}s — skipping round $r cores=$c")
       }
-      // RESCUE: the 4N number IS the headline — if every 4N sample so
-      // far is dirty (run B: one throttled 32c context ate the budget
-      // and the official headline recorded the throttle), spend one
+      // RESCUE — BOTH sides (round-4 VERDICT #2: only the 4N side was
+      // rescued, so a wholly-throttled N side self-certified and the
+      // artifact printed efficiency 5.47). The 4N number is the
+      // headline, the N number is the scaling denominator; if either
+      // has no globally-clean sample after the plan, spend a
       // ctx-capped context beyond the budget rather than publish a
-      // steal reading as the engine's number. The artifact keeps the
-      // dirty samples either way.
-      if (!samples.exists(s => s.cores == cpus && s.clean)) {
-        System.err.println(s"[bench] no clean $cpus-core sample after plan — rescue context")
-        runCtx(cpus, 98)
-        if (!samples.exists(s => s.cores == cpus && s.clean)) runCtx(cpus, 99)
+      // steal/throttle reading. The artifact keeps the dirty samples
+      // either way.
+      for ((side, r1, r2) <- Seq((cpus, 98, 99), (smallCpus, 96, 97))
+           if side > 0 && !cleanOn(side)) {
+        System.err.println(s"[bench] no clean $side-core sample after plan — rescue context")
+        runCtx(side, r1)
+        if (!cleanOn(side)) runCtx(side, r2)
       }
     } finally { // corpus cleanup on every exit path (round-3 ADVICE)
       try {
@@ -292,14 +369,29 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
-    def tps(c: Int): Double = {
-      val ss = samples.filter(_.cores == c).map(_.sec)
-      if (ss.isEmpty) -1.0 else rows / ss.min
-    }
-    val turnsPerSec = tps(cpus)
-    val efficiency =
-      if (smallCpus == cpus || tps(smallCpus) <= 0 || turnsPerSec <= 0) -1.0
-      else turnsPerSec / ((cpus.toDouble / smallCpus) * tps(smallCpus))
+    // final flags: GLOBAL task floor over every sample of both
+    // configs (a context's self-relative flags may have passed a
+    // plateau the other config's floor now rejects)
+    val finalSamples = withTaskFloor(samples.toSeq)
+    def minSec(c: Int, onlyClean: Boolean): Option[Double] =
+      finalSamples.filter(s => s.cores == c && (!onlyClean || s.clean))
+        .map(_.sec).minOption
+    def tpsAll(c: Int): Double = minSec(c, onlyClean = false).map(rows / _).getOrElse(-1.0)
+    // the headline prefers the best CLEAN rep; falls back to
+    // best-of-all (attributable via the sidecar detail) if none
+    val turnsPerSec = minSec(cpus, onlyClean = true)
+      .orElse(minSec(cpus, onlyClean = false)).map(rows / _).getOrElse(-1.0)
+    // scaling.efficiency: CLEAN-basis on BOTH sides or explicitly
+    // null (round-4 VERDICT #2: the artifact must never print a
+    // throttle artifact like 5.47 as the engine's scaling number; the
+    // dirty-rep trail in the sidecar proves no clean window occurred)
+    val (efficiencyJson, scalingBasis) =
+      (minSec(smallCpus, onlyClean = true), minSec(cpus, onlyClean = true)) match {
+        case (Some(sn), Some(s4)) if smallCpus != cpus =>
+          val eff = (rows / s4) / ((cpus.toDouble / smallCpus) * (rows / sn))
+          (eff.toString, "clean")
+        case _ => ("null", "none")
+      }
 
     // ---- per-query sweep at full parallelism ----
     // single-shot per query (driver-contract shape); each time carries
@@ -313,7 +405,7 @@ object Bench {
     spark.sparkContext.addSparkListener(sweepListener)
     val results = SparkEntry.registry.map { q =>
       val s0 =
-        try timedRep(cpus, 0, sweepListener)(timeBuilt(q.fn(spark, sfDir)))
+        try timedRep(cpus, 0, sweepListener, Some(spark))(timeBuilt(q.fn(spark, sfDir)))
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] query ${q.name} FAILED: $e")
@@ -336,17 +428,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ > 0).sum
     // per-context minima, round order (the round-2 artifact shape)
-    val runsJson = samples.groupBy(_.cores).toSeq.sortBy(_._1).map { case (c, ss) =>
+    val runsJson = finalSamples.groupBy(_.cores).toSeq.sortBy(_._1).map { case (c, ss) =>
       val mins = ss.groupBy(_.round).toSeq.sortBy(_._1)
         .map(_._2.map(_.sec).min)
       "\"" + c + "\":[" + mins.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val tpsN = minSec(smallCpus, onlyClean = true)
+      .orElse(minSec(smallCpus, onlyClean = false)).map(rows / _).getOrElse(-1.0)
     val scalingJson =
-      s"""{"cores_n":$smallCpus,"throughput_n":${tps(smallCpus)},"cores_4n":$cpus,"throughput_4n":$turnsPerSec,"efficiency":$efficiency}"""
+      s"""{"basis":"$scalingBasis","cores_n":$smallCpus,"throughput_n":$tpsN,"cores_4n":$cpus,"throughput_4n":$turnsPerSec,"efficiency":$efficiencyJson,"throughput_n_best_of_all":${tpsAll(smallCpus)},"throughput_4n_best_of_all":${tpsAll(cpus)}}"""
 
     // ---- full evidence → sidecar + stderr (NOT the stdout line) ----
     val detailJson = {
-      val headline = samples.map(_.json).mkString("[", ",", "]")
+      val headline = finalSamples.map(_.json).mkString("[", ",", "]")
       val sweep = results.map { case (k, s) =>
         "\"" + k + "\":" + s.json
       }.mkString("{", ",", "}")

@@ -42,5 +42,31 @@ object ExtractQueries {
       .orderBy(col("conv_id"))
   }
 
-  val all: Seq[Q] = Seq(qExtract, qMetrics, qReassemble)
+  /** q38: extraction composed with corpus cleaning — the pipeline a
+    * training-data user ACTUALLY runs end-to-end (round-4 VERDICT
+    * #6): per-turn extraction → q36's oracle-verified cleaning stages
+    * (quality gate → exact dedup → capped-Jaccard near-dup removal)
+    * over the EXTRACTED text, not the raw documents. No SQL oracle is
+    * possible across the extraction boundary (DuckDB cannot replay
+    * the extractor), so the driver check is rows-only and the
+    * semantics are pinned by a frozen sf0.001 fixture
+    * (graft.tools.FreezeQ38 / ExtractCleanSpec) plus the q36 oracle
+    * on the shared cleaning stages.
+    *
+    * doc_id = xxhash64(conv_id, turn_idx): deterministic and stable
+    * under any partitioning, so the min-doc_id dedup canonicalization
+    * and the near-dup higher-id drop are reproducible (collision odds
+    * ~n²/2⁶⁵ — negligible at any realistic corpus size).
+    * Scale shape: extraction is the narrow mapPartitions pass;
+    * cleaning adds one (md5, doc_id) shuffle, the df-capped shingle
+    * join, and two anti-joins — the same plan PlanSpec pins for q36. */
+  val qExtractClean = Q.noOracle("q38_extract_corpus_clean") { (s, d) =>
+    val turns = TranscriptGen.fromDocuments(Tables.documents(s, d))
+    val ex = ExtractJob.run(s, turns).select(
+      xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"),
+      col("platform"), col("text_content").as("text"))
+    graft.queries.TextPipeline.corpusClean(ex, "platform")
+  }
+
+  val all: Seq[Q] = Seq(qExtract, qMetrics, qReassemble, qExtractClean)
 }

@@ -266,8 +266,19 @@ object TextPipeline {
        |FROM s LEFT JOIN nd ON s.doc_id = nd.doc_id
        |WHERE nd.doc_id IS NULL
        |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
-    val base = Tables.documents(s, d).select(
-      col("doc_id"), col("lang"), col("text"),
+    corpusClean(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")))
+  }
+
+  /** The q36 cleaning stages over ANY (doc_id, `label`, text) frame —
+    * quality gate (scan predicate) → exact dedup (min doc_id per
+    * content md5; only (md5, doc_id) shuffles) → capped-Jaccard
+    * near-dup removal (df ≤ 10 join; the higher doc_id of each pair
+    * dropped via anti-join). Factored out so q38 can run the SAME
+    * oracle-verified stages over EXTRACTED text (round-4 VERDICT #6).
+    * Returns (doc_id, `label`, n_chars_t) ordered by doc_id. */
+  private[graft] def corpusClean(in: DataFrame, label: String = "lang"): DataFrame = {
+    val base = in.select(
+      col("doc_id"), col(label), col("text"),
       size(toks(col("text"))).cast("long").as("nt"),
       length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nw"))
     val meanWl = when(col("nt") === 0, lit(null))
@@ -282,7 +293,7 @@ object TextPipeline {
     val nd = cappedJaccardPairs(surv.select(col("doc_id"), col("text")))
       .select(col("doc2").as("doc_id")).distinct()
     surv.join(nd, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col(label),
         length(col("text")).cast("long").as("n_chars_t"))
       .orderBy(col("doc_id"))
   }
