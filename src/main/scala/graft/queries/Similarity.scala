@@ -209,7 +209,7 @@ object Similarity {
   private def annSigs(s: SparkSession, e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val bits = annBits(e.count()) // metadata-only parquet row count
-    val dim = e.select(size(col("embedding"))).head.getInt(0) // uniform-dim corpus
+    val dim = e.select(size(col("embedding"))).head().getInt(0) // uniform-dim corpus
     def proj(g: Int): Column =
       call_function("dot_fd", col("embedding"), typedlit(hyperArr(g, dim)))
     def sig(t: Int): Column = (0 until bits).map { b =>
