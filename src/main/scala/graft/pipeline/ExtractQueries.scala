@@ -62,9 +62,16 @@ object ExtractQueries {
     * join, and two anti-joins — the same plan PlanSpec pins for q36. */
   val qExtractClean = Q.noOracle("q38_extract_corpus_clean") { (s, d) =>
     val turns = TranscriptGen.fromDocuments(Tables.documents(s, d))
-    val ex = ExtractJob.run(s, turns).select(
-      xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"),
-      col("platform"), col("text_content").as("text"))
+    // CACHED: corpusClean references its input on both sides of the
+    // dedup join (and in the near-dup stage), so an uncached input
+    // would re-run the EXPENSIVE extraction 2-3x — a real 2x at
+    // 100 TB (for q36 the input is a cheap parquet scan, so it stays
+    // uncached there; Dataset.cache spills MEMORY_AND_DISK, so this
+    // holds at any corpus size — recompute always loses to re-read)
+    val ex = graft.queries.TempCaches.cached(
+      ExtractJob.run(s, turns).select(
+        xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"),
+        col("platform"), col("text_content").as("text")))
     graft.queries.TextPipeline.corpusClean(ex, "platform")
   }
 
