@@ -116,6 +116,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
   }
 
+  test("q37: IVF plan is keyed joins only, codebook absent from the plan") {
+    val p = plan("q37_cosine_ann_ivf")
+    try {
+      // candidate construction is a hash join on cid + equi-joins on
+      // vec_id/neighbor_id — never a nested loop over cells
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      // the codebook travels as sc.broadcast inside the UDF, NOT as
+      // plan literals (round-4 VERDICT #1): no literal long-array
+      // centroid dump may appear in the executed plan
+      assert(p.length < 100000, s"plan unexpectedly large: ${p.length} chars")
+      // bounded top-k via the typed aggregate, no full-candidate sort
+      assert(!p.contains("Window"), p.take(2000))
+    } finally TempCaches.release(spark)
+  }
+
   test("q10: cosine runs inside codegen (no interpreted lambda in the join)") {
     val p = plan("q10_cosine_topk")
     assert(p.contains("cosine_sim"), p.take(2000))
