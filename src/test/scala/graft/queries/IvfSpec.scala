@@ -95,6 +95,25 @@ class IvfSpec extends AnyFunSuite {
     } finally TempCaches.release(spark)
   }
 
+  test("degenerate corpus: all-identical vectors collapse to one hot cell, no crash") {
+    // the worst skew case: every centroid identical after init, all
+    // vectors assigned to cid 0 (lowest-cid tiebreak), cells 1..K-1
+    // empty (keeping their init centroids). Must complete and return
+    // full top-3 at sim 1.0 with neighbor_id tiebreak order.
+    import spark.implicits._
+    val e = (0 until 40)
+      .map(i => (i.toLong, Seq.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(spark, e)
+    try {
+      val rows = ivf.collect()
+      assert(rows.length == 40 * 3)
+      assert(rows.forall(_.getAs[Double]("sim") == 1.0))
+      // vec 0's neighbors are the 3 lowest other ids, in order
+      assert(rows.filter(_.getAs[Long]("vec_id") == 0L)
+        .map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    } finally TempCaches.release(spark)
+  }
+
   test("clustered corpus: recall@3 >= 0.9 at nprobe=4 (where IVF wins)") {
     // 16 well-separated centers, n=2000 ⇒ K=15 cells; same-cluster
     // cosine >> cross-cluster, so the true top-3 live in the same
