@@ -338,9 +338,10 @@ object Similarity {
     * the self cell is always searched). Bounded insertion, no full
     * K-sort. Pure integer arithmetic ⇒ deterministic. */
   private def nearestCellsUdf(s: SparkSession, cents: Array[Array[Long]],
-                              probe: Int): UserDefinedFunction = {
+                              probe: Int)
+      : (UserDefinedFunction, org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]) = {
     val bc = s.sparkContext.broadcast(cents)
-    udf((qv: Seq[Long]) => {
+    val fn = udf((qv: Seq[Long]) => {
       val cs = bc.value
       val qa = qv.toArray
       val m = math.min(probe, cs.length)
@@ -363,6 +364,7 @@ object Similarity {
       }
       IvfCells(topC(0), topC.toSeq)
     })
+    (fn, bc)
   }
 
   /** IVF top-3 cosine ANN over an embeddings-shaped frame
@@ -388,7 +390,7 @@ object Similarity {
     // own cell only): zero-shuffle map pass; the only shuffle per
     // iteration is the tiny (cid, pos) rollup.
     for (_ <- 1 to IvfIters) {
-      val ownU = nearestCellsUdf(s, cents, 1)
+      val (ownU, ownBc) = nearestCellsUdf(s, cents, 1)
       val assigned = qe.select(col("qv"), ownU(col("qv")).getField("own").as("cid"))
       val dims = assigned
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
@@ -400,10 +402,16 @@ object Similarity {
         .collect() // the codebook: K rows — bounded model parameter
       val upd = dims.map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
       cents = cents.indices.map(i => upd.getOrElse(i, cents(i))).toArray
+      // the iteration's plan is fully materialized by the collect —
+      // release its codebook broadcast now instead of waiting for GC
+      ownBc.unpersist(blocking = false)
     }
     // final cell membership + per-vector probe list, one UDF pass
-    // (distances computed ONCE per row for both own and probes)
-    val cellsU = nearestCellsUdf(s, cents, probe)
+    // (distances computed ONCE per row for both own and probes).
+    // This broadcast must OUTLIVE the returned (lazy) plan, so it is
+    // deliberately not unpersisted here — the ContextCleaner reclaims
+    // it when the plan is dropped.
+    val (cellsU, _) = nearestCellsUdf(s, cents, probe)
     val assigned = TempCaches.cached(qe
       .select(col("vec_id"), cellsU(col("qv")).as("pc"))
       .select(col("vec_id"), col("pc.own").as("own_cid"),
