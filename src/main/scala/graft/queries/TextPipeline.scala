@@ -582,5 +582,65 @@ object TextPipeline {
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  val all: Seq[Q] = Seq(q04, q05, q06, q07, q11, q12, q13, q14, q18, q36)
+  /** Per-language vocabulary accounting — the corpus statistic every
+    * tokenizer-training / data-mixing decision starts from. Scale
+    * shape: the token explode is wordcount-shaped — map-side partial
+    * aggregation collapses (lang, token) to vocabulary cardinality
+    * before the shuffle, so shuffled rows are vocab-bound, not
+    * token-count-bound; COUNT(DISTINCT) runs on the same keys. The
+    * type-token ratio is int/int double division (exact in both
+    * engines). Empty documents contribute nothing (explode of an
+    * empty array emits no rows; UNNEST([]) likewise). */
+  val q39 = Q(
+    "q39_vocab_stats",
+    s"""SELECT lang, COUNT(DISTINCT t) AS vocab,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT t) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
+       |FROM (SELECT lang, UNNEST(tk) AS t FROM
+       |      (SELECT lang, $toksSql AS tk FROM documents))
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("t")).as("vocab"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("lang"), col("vocab"), col("n_tokens"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  /** Top-5 terms per language by frequency (deterministic term
+    * tiebreak). Scale shape: the window ranks the POST-AGGREGATION
+    * (lang, term, count) table — vocabulary-sized, not
+    * token-count-sized — so unlike the candidate-scoring paths
+    * (q10/q15, where TopNeighbors replaced the window) a per-lang
+    * window sort here is bounded by vocab and is the simplest
+    * correct plan. */
+  val q40 = Q(
+    "q40_top_terms",
+    s"""WITH cnt AS (
+       |  SELECT lang, t AS term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT lang, UNNEST(tk) AS t FROM
+       |        (SELECT lang, $toksSql AS tk FROM documents))
+       |  GROUP BY lang, t)
+       |SELECT lang, term, c, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, term) AS rank
+       |  FROM cnt)
+       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    cnt.withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("term"))))
+      .filter(col("rank") <= 5)
+      // BIGINT rank: DuckDB's ROW_NUMBER is int64, Spark's is int32
+      .select(col("lang"), col("term"), col("c"), col("rank").cast("long").as("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q04, q05, q06, q07, q11, q12, q13, q14, q18, q36, q39, q40)
 }
