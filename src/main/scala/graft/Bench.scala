@@ -127,6 +127,39 @@ object Bench {
   def taskFloorFactor: Double =
     sys.env.get("SPARK_GRAFT_TASK_FLOOR_FACTOR").map(_.toDouble).getOrElse(1.5)
 
+  /** Frozen per-query sweep task_sec baselines for one SF (keys are
+    * query names). The headline's global task floor stops at the
+    * sweep boundary — each sweep query runs once and has no reference
+    * floor, which is how BENCH_r05 printed a 26 s q10 as `clean: true`
+    * during a 10× frequency throttle (round-5 VERDICT #1). The
+    * baselines are frozen from clean runs by
+    * graft.tools.FreezeSweepBaseline into a committed flat JSON file
+    * ("<sfName>/<query>": task_sec); a query or SF with no entry
+    * falls back to the steal-only flag (new queries stay honest via
+    * the sidecar's task_sec trail until re-frozen). */
+  def loadSweepBaseline(sfDir: String,
+                        path: String = sys.env.getOrElse(
+                          "SPARK_GRAFT_SWEEP_BASELINE", "SWEEP_BASELINE.json"))
+      : Map[String, Double] = {
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val re = """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r
+      re.findAllMatchIn(txt).collect {
+        case m if m.group(1).startsWith(sfName + "/") =>
+          m.group(1).drop(sfName.length + 1) -> m.group(2).toDouble
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
+  /** Sweep clean flag: steal window AND (when a frozen baseline
+    * exists) the per-query task-time floor. Utilization is deliberately
+    * NOT gated — single queries rarely saturate all cores; the value
+    * stays in the sidecar for attribution. */
+  def sweepClean(s: Sample, baseline: Option[Double]): Boolean =
+    s.sec > 0 && s.stealPct >= 0 && s.stealPct <= cleanStealMax &&
+      baseline.forall(b => s.taskSec <= taskFloorFactor * b)
+
   /** Recompute clean flags with a TASK-TIME floor: a
     * frequency-throttled window can pass the steal+utilization
     * predicate (observed: a 107 s rep at 0.84% steal / 0.94 util with
@@ -202,7 +235,7 @@ object Bench {
       math.rint(util * 10000) / 10000, clean)
   }
 
-  private def session(cpus: Int): SparkSession = {
+  private[graft] def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -403,26 +436,52 @@ object Bench {
     val spark = session(cpus)
     val sweepListener = new TaskTimeListener
     spark.sparkContext.addSparkListener(sweepListener)
-    val results = SparkEntry.registry.map { q =>
+    val sweepBaseline = loadSweepBaseline(sfDir)
+    if (sweepBaseline.isEmpty)
+      System.err.println("[bench] no sweep task_sec baseline for this SF — sweep flags are steal-only")
+    def runQuery(q: queries.Q, round: Int): Sample = {
       val s0 =
-        try timedRep(cpus, 0, sweepListener, Some(spark))(timeBuilt(q.fn(spark, sfDir)))
+        try timedRep(cpus, round, sweepListener, Some(spark))(timeBuilt(q.fn(spark, sfDir)))
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] query ${q.name} FAILED: $e")
-            Sample(cpus, 0, -1.0, -1.0, 0.0, 0.0, clean = false)
+            Sample(cpus, round, -1.0, -1.0, 0.0, 0.0, clean = false)
         } finally {
           queries.TempCaches.release(spark) // per-query cache hygiene
           spark.catalog.clearCache()
         }
-      // sweep clean = steal-only: single queries rarely saturate all
-      // cores, so the headline's utilization floor doesn't apply (the
-      // util value stays in the record for attribution)
-      val s = s0.copy(clean =
-        s0.sec > 0 && s0.stealPct >= 0 && s0.stealPct <= cleanStealMax)
-      System.err.println(s"[bench] sweep ${q.name} sec=${s.sec} " +
-        s"steal%=${s.stealPct} task_sec=${s.taskSec} util=${s.util} clean=${s.clean}")
-      (q.name, s)
+      val s = s0.copy(clean = sweepClean(s0, sweepBaseline.get(q.name)))
+      System.err.println(s"[bench] sweep ${q.name} r$round sec=${s.sec} " +
+        s"steal%=${s.stealPct} task_sec=${s.taskSec} util=${s.util} clean=${s.clean}" +
+        sweepBaseline.get(q.name).map(b => s" base_task=$b").getOrElse(""))
+      s
     }
+    val firstPass = SparkEntry.registry.map(q => q -> runQuery(q, 0))
+    // one budget-gated retry of each dirty entry (round-5 VERDICT #1):
+    // a frequency-throttled or stolen window usually clears within the
+    // sweep's own runtime; the chosen sample prefers clean, then the
+    // faster of two dirty attempts — BOTH attempts stay in the sidecar
+    val retryBudget = sys.env.get("SPARK_GRAFT_SWEEP_RETRY_BUDGET_SEC")
+      .map(_.toLong).getOrElse(240L)
+    val sweepT0 = System.nanoTime()
+    def retryElapsed: Long = (System.nanoTime() - sweepT0) / 1000000000L
+    val withRetries: Seq[(String, Sample, Option[Sample])] = firstPass.map {
+      case (q, s1) =>
+        if (s1.clean || s1.sec <= 0 || retryElapsed >= retryBudget) (q.name, s1, None)
+        else {
+          System.err.println(s"[bench] sweep ${q.name} dirty — retrying once")
+          val s2 = runQuery(q, 1)
+          val chosen =
+            if (s2.clean) s2
+            else if (s2.sec > 0 && s2.sec < s1.sec) s2
+            else s1
+          (q.name, chosen, Some(if (chosen eq s2) s1 else s2))
+        }
+    }
+    val results = withRetries.map { case (n, s, _) => (n, s) }
+    val retriesJson = withRetries.collect { case (n, _, Some(other)) =>
+      "\"" + n + "\":" + other.json
+    }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, s) => "\"" + k + "\":" + s.sec }
       .mkString("{", ",", "}")
@@ -446,7 +505,9 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","rows":$rows,""" +
         s""""clean_steal_max":$cleanStealMax,"clean_util_min_4n":${cleanUtilMin(cpus)},""" +
+        s""""sweep_baseline_entries":${sweepBaseline.size},""" +
         s""""headline_detail":$headline,"sweep_detail":$sweep,""" +
+        s""""sweep_retries":$retriesJson,""" +
         s""""turns_per_sec":$turnsPerSec,"scaling":$scalingJson}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar),

@@ -29,6 +29,22 @@ object Similarity {
   private def cosine(s: SparkSession, a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Re-shuffle the embeddings input to full parallelism before the
+    * heavy per-vector compute (signatures, quantization, pairwise
+    * scoring). The sandbox `embeddings.parquet` is ONE small file =
+    * one input split, and nothing downstream re-shuffles the probe
+    * side (the dimension-side lookups auto-broadcast), so the whole
+    * signature/candidate compute inherited a single partition — every
+    * recorded sweep ran q10/q15 at utilization ~0.03 on 32 cores
+    * (round-5 VERDICT #2). At 100 TB splits abound and this
+    * round-robin shuffle of (vec_id, embedding) is noise; in-sandbox
+    * it is the difference between 1 and 32 active cores. Values are
+    * partition-independent (integer/left-fold arithmetic throughout),
+    * so oracle hash parity is unchanged. */
+  private def repart(s: SparkSession, e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.repartition(s.sparkContext.defaultParallelism)
+
   /** Bounded top-k per vec_id via the typed TopNeighbors aggregate —
     * map-side partial top-k instead of a full window shuffle+sort
     * (see graft.functions.TopNeighbors). Output matches the oracle's
@@ -68,8 +84,9 @@ object Similarity {
     * q10's body, exposed for specs that need the exact answer on a
     * synthetic corpus (IvfSpec's clustered-recall pin). */
   private[graft] def exactTopK(s: SparkSession,
-                               e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                               e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     GraftFunctions.register(s)
+    val e = repart(s, e0)
     val p = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         cosine(s, col("a.embedding"), col("b.embedding")).as("sim"))
@@ -91,7 +108,7 @@ object Similarity {
       |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (a.nrm*b.nrm) >= 0.3
       |ORDER BY id1, id2""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = repart(s, Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         cosine(s, col("a.embedding"), col("b.embedding")).as("sim"))
@@ -206,9 +223,10 @@ object Similarity {
     * hyperplane arrays (precomputed with the oracle's exact integer
     * arithmetic) — the interpreted HOF form was the dominant
     * signature-stage cost at bands·bits = 96 projections/vector. */
-  private def annSigs(s: SparkSession, e: org.apache.spark.sql.DataFrame)
+  private def annSigs(s: SparkSession, e: org.apache.spark.sql.DataFrame,
+                      n: Long)
       : org.apache.spark.sql.DataFrame = {
-    val bits = annBits(e.count()) // metadata-only parquet row count
+    val bits = annBits(n) // caller probes n on the RAW scan (metadata-only)
     val dim = e.select(size(col("embedding"))).head().getInt(0) // uniform-dim corpus
     def proj(g: Int): Column =
       call_function("dot_fd", col("embedding"), typedlit(hyperArr(g, dim)))
@@ -224,8 +242,10 @@ object Similarity {
 
   val q15 = Q("q15_cosine_ann_lsh", q15Sql) { (s, d) =>
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val sigs = annSigs(s, e)
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = e0.count() // metadata-only parquet row count
+    val e = repart(s, e0)
+    val sigs = annSigs(s, e, n)
     // NO distinct over the multi-band candidates: duplicate pairs
     // from different bands carry bitwise-identical sims and the
     // TopNeighbors buffer dedups them exactly — one full-candidate
@@ -266,8 +286,10 @@ object Similarity {
     * more reliably than these 0.3-weak pairs). */
   val q19 = Q("q19_cosine_near_dup_lsh", q19Sql) { (s, d) =>
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val sigs = annSigs(s, e)
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = e0.count() // metadata-only parquet row count
+    val e = repart(s, e0)
+    val sigs = annSigs(s, e, n)
     // distinct IS needed here (unlike q15): the pair list is the
     // output, and multi-band duplicates would duplicate rows
     val cand = sigs.as("a").join(sigs.as("b"),
@@ -341,7 +363,10 @@ object Similarity {
                               probe: Int)
       : (UserDefinedFunction, org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]) = {
     val bc = s.sparkContext.broadcast(cents)
-    val fn = udf((qv: Seq[Long]) => {
+    // null-propagates like the Catalyst expression it replaced
+    // (round-5 ADVICE: ivfTopK is private[graft] for arbitrary
+    // frames; a null embedding should null the row, not NPE the job)
+    val fn = udf((qv: Seq[Long]) => if (qv == null) null else {
       val cs = bc.value
       val qa = qv.toArray
       val m = math.min(probe, cs.length)
@@ -376,9 +401,10 @@ object Similarity {
                              kOverride: Option[Int] = None,
                              probe: Int = IvfProbe): org.apache.spark.sql.DataFrame = {
     GraftFunctions.register(s)
-    val n = e.count() // metadata-only parquet row count (as annSigs)
+    val n = e.count() // metadata-only parquet row count (as q15/q19)
     val k = kOverride.getOrElse(ivfK(n))
-    val qe = TempCaches.cached(e.select(col("vec_id"),
+    val ep = repart(s, e)
+    val qe = TempCaches.cached(ep.select(col("vec_id"),
       transform(col("embedding"), x => round(x * 1024).cast("long")).as("qv")))
     // init: the K lowest vec_ids (deterministic, no RNG)
     var cents: Array[Array[Long]] = qe.orderBy(col("vec_id")).limit(k)
@@ -424,8 +450,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"))
     val scored = cand
-      .join(e.select(col("vec_id"), col("embedding").as("e1")), "vec_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("e2")),
+      .join(ep.select(col("vec_id"), col("embedding").as("e1")), "vec_id")
+      .join(ep.select(col("vec_id").as("neighbor_id"), col("embedding").as("e2")),
         "neighbor_id")
       .select(col("vec_id"), col("neighbor_id"),
         cosine(s, col("e1"), col("e2")).as("sim"))

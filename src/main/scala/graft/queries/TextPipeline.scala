@@ -641,6 +641,235 @@ object TextPipeline {
       .orderBy(col("lang"), col("rank"))
   }
 
+  // ------------------------------------------------------------------
+  // q41 — incremental ingest dedup-on-resume: the operator a daily
+  // 100 TB pipeline actually runs. A NEW batch is admitted against a
+  // COMMITTED store: (1) exact dedup vs the store's content-hash set
+  // (anti-join on md5 — only (md5, doc_id) shuffles, never bodies),
+  // (2) exact dedup within the batch (min doc_id per hash), (3)
+  // near-dup check against committed survivors AND lower-id batch
+  // docs with the df-capped shingle machinery (q18/q36 engine).
+  // Table-scale sequel to §2.10's "dedup / idempotent resume"
+  // (reference analogue: re-ingest of an already-extracted URL, see
+  // SURVEY.md §2.10; round-5 VERDICT Next #3).
+  //
+  // The sandbox corpus has NO exact duplicates (q04: 500 distinct
+  // hashes over 500 docs), so the batch is the doc_id%10∈{8,9} slice
+  // PLUS a deterministic re-ingest of store docs (doc_id%25=0,
+  // re-keyed +1e6) — the crawler-refetch case; those rows make the
+  // store anti-join provably non-vacuous (they must all be dropped).
+  // ------------------------------------------------------------------
+
+  /** Admit `batch` against committed `store0` (both (doc_id, text)):
+    * store is exact-deduped to canonicals; batch rows whose content
+    * hash exists in the store are dropped (anti-join), then batch is
+    * internally exact-deduped, then a batch doc near-dupping
+    * (capped Jaccard ≥ 0.5) ANY store doc or a LOWER-id batch doc is
+    * dropped. One-shot pair rule as in q36 (the higher side of each
+    * pair drops even if the lower side was itself dropped — mirrored
+    * exactly in the oracle). Returns admitted (doc_id, n_chars_t). */
+  private[graft] def incrementalIngest(store0: DataFrame, batch: DataFrame): DataFrame = {
+    val storeK = store0
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val store = TempCaches.cached(
+      store0.join(storeK.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val storeH = store.select(md5(col("text").cast("binary")).as("h")).distinct()
+    // the store-hash anti-join: at scale this is the committed
+    // snapshot's hash column (TranscriptStore) — a keyed shuffle of
+    // 32-char hashes, the batch bodies never move for it
+    val bx0 = batch.withColumn("h", md5(col("text").cast("binary")))
+      .join(storeH, Seq("h"), "left_anti")
+    val bk = bx0.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val bx = TempCaches.cached(bx0
+      .join(bk.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text")))
+    val u = store.select(col("doc_id"), col("text"))
+      .unionAll(bx.select(col("doc_id"), col("text")))
+    val pairs = TempCaches.cached(cappedJaccardPairs(u))
+    // drop a batch doc pairing with anyone lower (store or batch)...
+    val drop1 = pairs.join(bx.select(col("doc_id").as("doc2")), Seq("doc2"), "left_semi")
+      .select(col("doc2").as("doc_id"))
+    // ...or with a higher-id STORE doc (store membership wins any tie)
+    val drop2 = pairs.join(bx.select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
+      .join(store.select(col("doc_id").as("doc2")), Seq("doc2"), "left_semi")
+      .select(col("doc1").as("doc_id"))
+    bx.join(drop1.union(drop2).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_t"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q41 = Q(
+    "q41_ingest_dedup",
+    s"""WITH store0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+       |sk AS (SELECT MIN(doc_id) AS doc_id FROM store0 GROUP BY md5(text)),
+       |store AS (SELECT s.doc_id, s.text FROM store0 s JOIN sk USING (doc_id)),
+       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+       |          UNION ALL
+       |          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |          WHERE doc_id % 10 < 8 AND doc_id % 25 = 0),
+       |sh2 AS (SELECT DISTINCT md5(text) AS h FROM store),
+       |bx0 AS (SELECT b.doc_id, b.text FROM batch b
+       |        LEFT JOIN sh2 ON md5(b.text) = sh2.h WHERE sh2.h IS NULL),
+       |bk AS (SELECT MIN(doc_id) AS doc_id FROM bx0 GROUP BY md5(text)),
+       |bx AS (SELECT b.doc_id, b.text FROM bx0 b JOIN bk USING (doc_id)),
+       |u AS (SELECT doc_id, text FROM store UNION ALL SELECT doc_id, text FROM bx),
+       |${cappedPairsSql("u")},
+       |drop1 AS (SELECT DISTINCT p.doc2 AS doc_id FROM pairs p JOIN bx ON p.doc2 = bx.doc_id),
+       |drop2 AS (SELECT DISTINCT p.doc1 AS doc_id FROM pairs p
+       |          JOIN bx ON p.doc1 = bx.doc_id
+       |          JOIN store st ON p.doc2 = st.doc_id),
+       |dropped AS (SELECT doc_id FROM drop1 UNION SELECT doc_id FROM drop2)
+       |SELECT bx.doc_id, CAST(length(bx.text) AS BIGINT) AS n_chars_t
+       |FROM bx LEFT JOIN dropped dr ON bx.doc_id = dr.doc_id
+       |WHERE dr.doc_id IS NULL
+       |ORDER BY bx.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val store0 = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .unionAll(docs.filter(col("doc_id") % 10 < 8 && col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    incrementalIngest(store0, batch)
+  }
+
+  // ------------------------------------------------------------------
+  // q42 — PII scrubbing: regex redaction of URLs, emails, and phone
+  // numbers with per-doc redaction counts and the redacted text's
+  // prime-field fingerprint (the q14 scheme, so downstream exact
+  // dedup runs on SCRUBBED content). Scale shape: a pure codegen'd
+  // projection (regexp_replace/regexp_extract_all + poly_hash) — no
+  // shuffle at all except the final orderBy; at 100 TB this is a
+  // scan-rate map stage.
+  //
+  // The synthetic corpus is PII-free (probed: zero digits, emails or
+  // URLs in any `text`), so the query stages a deterministic
+  // PII-BEARING frame first — a contact line derived from doc_id,
+  // appended identically in both engines — and scrubs that. The
+  // patterns avoid regex-dialect divergence (Java backtracking vs
+  // DuckDB's RE2 leftmost-longest agree on these: greedy character
+  // classes, no alternation).
+  // ------------------------------------------------------------------
+  private val UrlRe = "https?://\\S+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?\\d[\\d-]{5,}\\d"
+
+  /** Scrub (doc_id, text): URLs → `<URL>`, then emails → `<EMAIL>`,
+    * then phones → `<PHONE>` (fixed stage order — each count is taken
+    * on that stage's input, so a URL's query string never double
+    * counts as an email). Returns doc_id, the three counts, the
+    * redacted text, its fingerprint, and its length. */
+  private[graft] def piiScrub(in: DataFrame): DataFrame = {
+    val afterUrl = regexp_replace(col("text"), UrlRe, "<URL>")
+    val stage1 = in.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_url"),
+      afterUrl.as("t1"))
+    val stage2 = stage1.select(col("doc_id"), col("n_url"),
+      size(regexp_extract_all(col("t1"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+      regexp_replace(col("t1"), EmailRe, "<EMAIL>").as("t2"))
+    stage2.select(col("doc_id"), col("n_url"), col("n_email"),
+      size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+      regexp_replace(col("t2"), PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  /** The deterministic PII-bearing staging frame (both engines append
+    * the same contact line, so the scrub has real work on every row). */
+  private def piiStaged(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    docs.select(col("doc_id"), concat(col("text"),
+      lit(" Contact user"), id, lit("@mail.example.com or call +1-555-"),
+      id, lit("-0 now; see https://ex.example.com/d/"),
+      id, lit("?ref=email for details.")).as("text"))
+  }
+  // single line: a multi-line value here would collide with the OUTER
+  // q42 SQL's stripMargin (its '||'-leading lines lose their first '|')
+  private val piiStagedSql =
+    "SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com or call +1-555-' || CAST(doc_id AS VARCHAR) || " +
+      "'-0 now; see https://ex.example.com/d/' || CAST(doc_id AS VARCHAR) || " +
+      "'?ref=email for details.' AS text FROM documents"
+
+  val q42 = Q(
+    "q42_pii_scrub",
+    s"""WITH staged AS ($piiStagedSql),
+       |s1 AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_url,
+       |    regexp_replace(text, '$UrlRe', '<URL>', 'g') AS t1
+       |  FROM staged),
+       |s2 AS (SELECT doc_id, n_url,
+       |    CAST(len(regexp_extract_all(t1, '$EmailRe')) AS BIGINT) AS n_email,
+       |    regexp_replace(t1, '$EmailRe', '<EMAIL>', 'g') AS t2
+       |  FROM s1),
+       |s3 AS (SELECT doc_id, n_url, n_email,
+       |    CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |    regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |  FROM s2)
+       |SELECT doc_id, n_url, n_email, n_phone,
+       |  ${fpSql("redacted", 31L, P)} AS fp_red,
+       |  CAST(length(redacted) AS BIGINT) AS n_chars_red
+       |FROM s3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    piiScrub(piiStaged(Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("n_url"), col("n_email"), col("n_phone"),
+        fpCol(col("redacted"), 31L, P).as("fp_red"),
+        length(col("redacted")).cast("long").as("n_chars_red"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // q43 — benchmark-contamination detection: flag corpus docs whose
+  // word-3-gram shingle sets overlap a held-out EVAL set (every 50th
+  // doc) — the decontamination sweep every training-data pipeline
+  // runs before releasing a corpus (n-gram-overlap methodology as in
+  // GPT-3/PaLM appendix decontamination). Scale shape: the eval
+  // shingle set is a distinct projection of the (small) eval slice —
+  // at 100 TB it broadcasts; the corpus side is one shingle explode +
+  // a semi-style join + two wordcount-shaped aggs on doc_id. Keyed
+  // joins only (PlanSpec-pinned); reuses the q07/q18 shingle
+  // machinery (round-5 VERDICT Next #5).
+  // ------------------------------------------------------------------
+
+  /** Per-corpus-doc shingle overlap vs the eval set: (doc_id, n_sh,
+    * n_hit, overlap=n_hit/n_sh, contaminated = overlap ≥ 0.5). Docs
+    * with < 3 tokens have no shingles and are absent (as in q07). */
+  private[graft] def contamination(corpus: DataFrame, evalSet: DataFrame): DataFrame = {
+    val shc = TempCaches.cached(shingles(corpus))
+    val she = shingles(evalSet).select(col("shingle")).distinct()
+    val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hit = shc.join(she, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val overlap = col("n_hit").cast("double") / col("n_sh").cast("double")
+    cnt.join(hit, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"), overlap.as("overlap"),
+        (overlap >= 0.5).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q43 = Q(
+    "q43_contamination",
+    s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |co AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+       |shc AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       |        FROM (SELECT doc_id, $toksSql AS w FROM co),
+       |             UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+       |she AS (SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS shingle
+       |        FROM (SELECT doc_id, $toksSql AS w FROM ev),
+       |             UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+       |hit AS (SELECT doc_id, COUNT(*) AS n_hit
+       |        FROM shc JOIN she USING (shingle) GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_sh, COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE)/CAST(c.n_sh AS DOUBLE) AS overlap,
+       |  (CAST(COALESCE(h.n_hit, 0) AS DOUBLE)/CAST(c.n_sh AS DOUBLE) >= 0.5) AS contaminated
+       |FROM cnt c LEFT JOIN hit h ON c.doc_id = h.doc_id
+       |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    contamination(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
   val all: Seq[Q] =
-    Seq(q04, q05, q06, q07, q11, q12, q13, q14, q18, q36, q39, q40)
+    Seq(q04, q05, q06, q07, q11, q12, q13, q14, q18, q36, q39, q40,
+      q41, q42, q43)
 }

@@ -48,4 +48,46 @@ class BenchProtocolSpec extends AnyFunSuite {
     val out = Bench.withTaskFloor(Seq(s(8, 5.0, 0.0)))
     assert(out.forall(!_.clean))
   }
+
+  // --- per-query sweep clean flag (round-5 VERDICT #1): the frozen
+  // task_sec baseline must reject a frequency-throttled sweep entry
+  // that passes the steal-only check ---
+
+  test("sweep: a 10x-task_sec entry at low steal is dirty once a baseline exists") {
+    // the BENCH_r05 q10 signature: 26 s, 0.4% steal, task_sec 25.4 vs
+    // a historical clean 2.2-4.6 — steal-only printed clean:true
+    val throttled = s(32, 26.16, 25.4)
+    assert(!Bench.sweepClean(throttled, baseline = Some(2.4)))
+    assert(Bench.sweepClean(throttled, baseline = None)) // steal-only fallback
+  }
+
+  test("sweep: a clean entry within the floor factor stays clean") {
+    assert(Bench.sweepClean(s(32, 2.6, 2.9), baseline = Some(2.4)))
+  }
+
+  test("sweep: high steal is dirty regardless of baseline") {
+    val stolen = Bench.Sample(32, 0, 24.7, stealPct = 11.4,
+      taskSec = 2.4, util = 0.4, clean = true)
+    assert(!Bench.sweepClean(stolen, baseline = Some(2.4)))
+    assert(!Bench.sweepClean(stolen, baseline = None))
+  }
+
+  test("sweep: a failed run (sec<0) is never clean") {
+    val failed = Bench.Sample(32, 0, -1.0, -1.0, 0.0, 0.0, clean = false)
+    assert(!Bench.sweepClean(failed, baseline = None))
+  }
+
+  test("sweep baseline loader filters by SF prefix and survives a missing file") {
+    val f = java.nio.file.Files.createTempFile("sweep-baseline", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"sf0.1/q10": 2.4, "sf0.1/q15": 3.1, "sf0.01/q10": 0.6}""")
+    try {
+      assert(Bench.loadSweepBaseline("/root/testdata/sf0.1", f.toString) ==
+        Map("q10" -> 2.4, "q15" -> 3.1))
+      assert(Bench.loadSweepBaseline("/root/testdata/sf0.01", f.toString) ==
+        Map("q10" -> 0.6))
+      assert(Bench.loadSweepBaseline("/root/testdata/sf0.1",
+        "/nonexistent/baseline.json").isEmpty)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
 }

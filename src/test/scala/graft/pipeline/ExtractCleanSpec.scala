@@ -61,4 +61,22 @@ class ExtractCleanSpec extends AnyFunSuite {
     assert(survivors.length < extractedIds.size) // something was cleaned
     assert(survivors.length > extractedIds.size / 2) // but not everything
   }
+
+  test("q38 containment holds at sf0.01 too (round-5 VERDICT #7)") {
+    val d = "/root/testdata/sf0.01"
+    val rows = {
+      val df = ExtractQueries.qExtractClean.fn(spark, d).collect()
+      graft.queries.TempCaches.release(spark)
+      df
+    }
+    val turns = TranscriptGen.fromDocuments(
+      graft.queries.Tables.documents(spark, d))
+    val extractedIds = ExtractJob.run(spark, turns)
+      .select(xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val survivors = rows.map(_.getAs[Long]("doc_id"))
+    assert(survivors.toSet.subsetOf(extractedIds))
+    assert(survivors.length < extractedIds.size)
+    assert(survivors.length > extractedIds.size / 2)
+  }
 }

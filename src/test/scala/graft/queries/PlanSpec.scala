@@ -132,6 +132,31 @@ class PlanSpec extends AnyFunSuite {
     } finally TempCaches.release(spark)
   }
 
+  test("q41: incremental ingest is keyed joins only — hash anti-join, no nested loop") {
+    val p = plan("q41_ingest_dedup")
+    try {
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      // the store-hash dedup and the drop steps are semi/anti joins
+      assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
+    } finally TempCaches.release(spark)
+  }
+
+  test("q42: PII scrub is a pure projection — no shuffle except the final orderBy") {
+    val p = plan("q42_pii_scrub")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"q42 has $exchanges exchanges:\n${p.take(2000)}")
+  }
+
+  test("q43: contamination joins stay keyed on shingle/doc_id — no nested loop") {
+    val p = plan("q43_contamination")
+    try {
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("LeftSemi"), p.take(3000)) // eval-set shingle probe
+    } finally TempCaches.release(spark)
+  }
+
   test("q10: cosine runs inside codegen (no interpreted lambda in the join)") {
     val p = plan("q10_cosine_topk")
     assert(p.contains("cosine_sim"), p.take(2000))

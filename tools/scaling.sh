@@ -74,7 +74,11 @@ EOF
 }
 both_clean() { # early exit: 1 globally-clean rep on N, 2 on 4N
   python3 - "$@" <<'EOF'
-import json, sys
+import json, sys, os
+# same factor as the in-JVM predicate (Bench.taskFloorFactor) — a
+# desynchronized override would let a JVM certify reps this gate
+# later rejects, or vice versa (round-5 ADVICE)
+FACTOR = float(os.environ.get("SPARK_GRAFT_TASK_FLOOR_FACTOR", "1.5"))
 runs = [json.loads(a) for a in sys.argv[1:]]
 gmin = None
 for r in runs:
@@ -88,7 +92,7 @@ counts = {}
 for r in runs:
     c = r["cores"]
     for x in r.get("reps", []):
-        if x.get("clean") and x.get("task_sec", 0) <= 1.5 * gmin:
+        if x.get("clean") and x.get("task_sec", 0) <= FACTOR * gmin:
             counts[c] = counts.get(c, 0) + 1
 if len(counts) < 2:
     sys.exit(1)
@@ -105,7 +109,8 @@ for r in $(seq 1 "$ROUNDS"); do
   fi
 done
 python3 - "$SIDEKICK" "${RESULTS[@]}" <<'EOF'
-import json, sys, datetime
+import json, sys, datetime, os
+FACTOR = float(os.environ.get("SPARK_GRAFT_TASK_FLOOR_FACTOR", "1.5"))
 sidecar = sys.argv[1]
 runs = [json.loads(a) for a in sys.argv[2:]]
 # FINAL global task floor over every rep of both configs: re-flag
@@ -119,7 +124,7 @@ for r in runs:
             gmin = t
 def clean_reps(r):
     return [x for x in r.get("reps", [])
-            if x.get("clean") and gmin and x.get("task_sec", 0) <= 1.5 * gmin]
+            if x.get("clean") and gmin and x.get("task_sec", 0) <= FACTOR * gmin]
 best, clean_best = {}, {}
 for r in runs:
     c = r["cores"]
