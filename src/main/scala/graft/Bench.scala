@@ -152,13 +152,25 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** Absolute slack (seconds) added on top of the multiplicative
+    * sweep task floor. The frozen baseline is the MIN of several
+    * reps, so a single sweep draw sits systematically above it, and
+    * for sub-second task_secs the gap is dominated by codegen/JIT
+    * noise, not host throttling — the first live run flagged q01
+    * (1.79 vs 1.19×1.5 = 1.78) and q39 (0.77 vs 0.28×1.5 = 0.42)
+    * dirty on that noise. +2 s is invisible against a genuine 10×
+    * throttle of any query heavy enough to matter (q10's throttled
+    * signature was +23 s) but absorbs the small-query variance. */
+  def sweepTaskSlackSec: Double =
+    sys.env.get("SPARK_GRAFT_SWEEP_TASK_SLACK_SEC").map(_.toDouble).getOrElse(2.0)
+
   /** Sweep clean flag: steal window AND (when a frozen baseline
     * exists) the per-query task-time floor. Utilization is deliberately
     * NOT gated — single queries rarely saturate all cores; the value
     * stays in the sidecar for attribution. */
   def sweepClean(s: Sample, baseline: Option[Double]): Boolean =
     s.sec > 0 && s.stealPct >= 0 && s.stealPct <= cleanStealMax &&
-      baseline.forall(b => s.taskSec <= taskFloorFactor * b)
+      baseline.forall(b => s.taskSec <= taskFloorFactor * b + sweepTaskSlackSec)
 
   /** Recompute clean flags with a TASK-TIME floor: a
     * frequency-throttled window can pass the steal+utilization

@@ -869,7 +869,163 @@ object TextPipeline {
       docs.filter(col("doc_id") % 50 === 0))
   }
 
+  // ------------------------------------------------------------------
+  // q44 — corpus mixing / quota sampling: deterministic hash-threshold
+  // downsampling with per-language target weights (the data-mixing
+  // step of every multi-source training pipeline — e.g. downweight
+  // the dominant language, upweight the rare ones). Scale shape: the
+  // weights are a TINY dim table broadcast to the scan (one
+  // BroadcastHashJoin, no shuffle of the corpus), the admit decision
+  // is a pure codegen'd projection (poly_hash priority mod 10 000 <
+  // weight), and the only shuffle is the final (lang, source)
+  // accounting agg with map-side combine. Sampling is by CONTENT-
+  // INDEPENDENT key hash, so re-runs admit the identical subset
+  // (idempotent resume) and the admitted fraction converges to
+  // weight/10000 per language at any scale.
+  // ------------------------------------------------------------------
+  private val MixWeights: Seq[(String, Long)] =
+    Seq("en" -> 3000L, "zh" -> 6000L, "de" -> 8000L, "fr" -> 5000L, "es" -> 7000L)
+  private val MixDefaultW = 5000L
+
+  /** Admit-flag accounting per (lang, source): total docs, admitted
+    * docs under the per-language hash quota, and the admit ratio. */
+  private[graft] def mixSample(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val weights = s.createDataFrame(MixWeights).toDF("lang", "w_bp")
+    val pri = fpCol(concat(lit("mix:"), col("doc_id").cast("string")), 31L, P) % 10000L
+    docs.join(broadcast(weights), Seq("lang"), "left_outer")
+      .select(col("lang"), col("source"),
+        (pri < coalesce(col("w_bp"), lit(MixDefaultW))).as("adm"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("adm"), 1L).otherwise(0L)).as("n_admitted"))
+      .select(col("lang"), col("source"), col("n_total"), col("n_admitted"),
+        (col("n_admitted").cast("double") / col("n_total").cast("double")).as("admit_ratio"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val mixWeightsSql =
+    MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+
+  val q44 = Q(
+    "q44_mix_sample",
+    s"""WITH weights(lang, w_bp) AS (VALUES $mixWeightsSql),
+       |adm AS (SELECT d.lang, d.source,
+       |    (${fpSql("'mix:' || CAST(doc_id AS VARCHAR)", 31L, P)} % 10000
+       |     < COALESCE(w.w_bp, $MixDefaultW)) AS adm
+       |  FROM documents d LEFT JOIN weights w ON d.lang = w.lang)
+       |SELECT lang, source, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN adm THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(SUM(CASE WHEN adm THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS admit_ratio
+       |FROM adm GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+    mixSample(s, Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")))
+  }
+
+  // ------------------------------------------------------------------
+  // q45 — rational TF-IDF top-3 terms per document (keyword
+  // extraction / quality signal). "Rational" idf: score = tf ·
+  // n_docs / df computed as an exact BIGINT numerator divided by a
+  // BIGINT once — ONE IEEE division in both engines, so the doubles
+  // are bitwise-identical (no log, whose libm implementations could
+  // differ). Scale shape: wordcount-shaped (doc_id, term) partial
+  // agg; the df table is vocab-sized (broadcastable at moderate
+  // scale, term-keyed SMJ beyond); n_docs is a 1-row broadcast
+  // (scalar model parameter); the row_number window partitions by
+  // doc_id, bounded by per-doc vocabulary — NOT a global window
+  // (contrast: candidate scoring uses TopNeighbors where the
+  // partition would be unbounded).
+  // ------------------------------------------------------------------
+  private[graft] def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfTab, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df").cast("double")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      // BIGINT rank: DuckDB's ROW_NUMBER is int64, Spark's is int32
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val q45 = Q(
+    "q45_tfidf_topk",
+    s"""WITH words AS (SELECT doc_id, UNNEST($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+       |scored AS (SELECT t.doc_id, t.term, t.tf, dft.df,
+       |    CAST(t.tf * nd.n_docs AS DOUBLE)/CAST(dft.df AS DOUBLE) AS score
+       |  FROM tf t JOIN dft USING (term) CROSS JOIN nd),
+       |ranked AS (SELECT doc_id, term, tf, df, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, rnk, term, tf, df, score FROM ranked
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    tfidfTopK(Tables.documents(s, d).select(col("doc_id"), col("text")))
+  }
+
+  // ------------------------------------------------------------------
+  // q46 — within-document repetition filter (the Gopher/MassiveText
+  // "repetitious text" quality rule): per doc, the duplicate-3-gram
+  // fraction (1 − distinct/total shingles) and the most-common-3-gram
+  // fraction; flagged when either exceeds its threshold. Scale
+  // shape: one shuffle to (doc_id, shingle) with map-side combine,
+  // then a doc_id-keyed agg over per-doc vocab-sized groups — no
+  // joins, no windows, no self-pairs (contrast q07/q18 which compare
+  // ACROSS documents; this looks WITHIN each document and stays
+  // linear in corpus size). Docs with < 3 tokens have no shingles
+  // and are absent, as in q07/q43.
+  // ------------------------------------------------------------------
+  private[graft] def repetition(docs: DataFrame): DataFrame = {
+    val w = toks(col("text"))
+    val shAll = docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i, lit(3))))).as("shingle"))
+    val perShingle = shAll.groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+    val dupRatio = (col("n_sh") - col("n_distinct")).cast("double") / col("n_sh").cast("double")
+    val topFrac = col("top_cnt").cast("double") / col("n_sh").cast("double")
+    perShingle.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_sh"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+      .select(col("doc_id"), col("n_sh"), col("n_distinct"), col("top_cnt"),
+        dupRatio.as("dup_ratio"), topFrac.as("top_frac"),
+        // the top-frac rule needs a length floor: a 2-shingle doc has
+        // top_frac >= 0.5 by construction (as in Gopher's per-rule
+        // minimum-length preconditions)
+        (dupRatio >= 0.2 || (col("n_sh") >= 30 && topFrac >= 0.1)).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q46 = Q(
+    "q46_repetition",
+    s"""WITH words AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+       |g1 AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY doc_id, shingle),
+       |g2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sh,
+       |         COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_cnt
+       |       FROM g1 GROUP BY doc_id)
+       |SELECT doc_id, n_sh, n_distinct, top_cnt,
+       |  CAST(n_sh - n_distinct AS DOUBLE)/CAST(n_sh AS DOUBLE) AS dup_ratio,
+       |  CAST(top_cnt AS DOUBLE)/CAST(n_sh AS DOUBLE) AS top_frac,
+       |  (CAST(n_sh - n_distinct AS DOUBLE)/CAST(n_sh AS DOUBLE) >= 0.2
+       |   OR (n_sh >= 30 AND CAST(top_cnt AS DOUBLE)/CAST(n_sh AS DOUBLE) >= 0.1)) AS flagged
+       |FROM g2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    repetition(Tables.documents(s, d).select(col("doc_id"), col("text")))
+  }
+
   val all: Seq[Q] =
     Seq(q04, q05, q06, q07, q11, q12, q13, q14, q18, q36, q39, q40,
-      q41, q42, q43)
+      q41, q42, q43, q44, q45, q46)
 }

@@ -65,6 +65,15 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.sweepClean(s(32, 2.6, 2.9), baseline = Some(2.4)))
   }
 
+  test("sweep: sub-second noise above the factor but inside the slack stays clean") {
+    // the first live run's q39: task 0.77 vs a 0.28 min-of-3 baseline —
+    // 2.7x the factor, but pure codegen/JIT noise, absorbed by +2 s
+    assert(Bench.sweepClean(s(32, 1.45, 0.77), baseline = Some(0.28)))
+    // the slack must NOT rescue a genuine mid-size inflation: q13 at
+    // 24.0 vs baseline 12.6 (1.5x+2 = 20.9) stays dirty
+    assert(!Bench.sweepClean(s(32, 4.3, 24.0), baseline = Some(12.6)))
+  }
+
   test("sweep: high steal is dirty regardless of baseline") {
     val stolen = Bench.Sample(32, 0, 24.7, stealPct = 11.4,
       taskSec = 2.4, util = 0.4, clean = true)

@@ -157,6 +157,25 @@ class PlanSpec extends AnyFunSuite {
     } finally TempCaches.release(spark)
   }
 
+  test("q44: mix weights ride a broadcast join — the corpus never shuffles for the dim") {
+    val p = plan("q44_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q45: tf-idf joins are keyed; the only nested-loop is the 1-row n_docs broadcast") {
+    val p = plan("q45_tfidf_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl == 1, s"expected exactly the scalar broadcast, got $bnl:\n${p.take(2000)}")
+  }
+
+  test("q46: repetition is join-free — two keyed aggs only") {
+    val p = plan("q46_repetition")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("q10: cosine runs inside codegen (no interpreted lambda in the join)") {
     val p = plan("q10_cosine_topk")
     assert(p.contains("cosine_sim"), p.take(2000))
