@@ -55,7 +55,11 @@ object FreezeSweepBaseline {
     }
     spark.stop()
 
-    // merge: keep existing entries for other SFs / unmeasured queries
+    // merge: keep existing entries for other SFs / unmeasured queries;
+    // on collision take the MIN — the baseline is the least-throttled
+    // observation ever recorded for the current plan, so a re-freeze
+    // in a slow host regime must never RAISE a floor (delete the
+    // entry manually when a plan deliberately changes cost)
     val existing: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
@@ -63,7 +67,9 @@ object FreezeSweepBaseline {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val merged = existing ++ best.map { case (k, v) =>
-      s"$sfName/$k" -> math.rint(v * 1000) / 1000
+      val key = s"$sfName/$k"
+      val vr = math.rint(v * 1000) / 1000
+      key -> existing.get(key).fold(vr)(math.min(_, vr))
     }
     val json = merged.toSeq.sorted
       .map { case (k, v) => s""""$k": $v""" }
