@@ -214,6 +214,58 @@ object TextPipeline {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Probe-restricted capped-Jaccard pairs: the subset of
+    * cappedJaccardPairs(u) touching at least one `probeDocs` doc, but
+    * the pair join NEVER materializes store×store candidates — each
+    * of the two terms reduces one join side to the probe postings
+    * (term 1: any-lower × probe-higher, covering probe×probe; term
+    * 2: probe-lower × any-higher, its probe×probe overlap removed
+    * post-agg). For a daily ingest where |batch| ≪ |store| the
+    * near-dup candidate stream scales with |batch|·postings, not
+    * |corpus|² — the whole point of dedup-on-resume. The df cap and
+    * per-doc shingle counts are
+    * still computed over the FULL union, so every emitted pair is
+    * value-identical to the unrestricted machinery (the q41 oracle
+    * generates ALL pairs and filters; only probe-touching pairs can
+    * drop anything, so results match). */
+  private def cappedJaccardPairsProbe(u: DataFrame, probeDocs: DataFrame): DataFrame = {
+    val sh = TempCaches.cached(shingles(u))
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= HotShingleDfCap)
+      .select(col("shingle"))
+    val shc = TempCaches.cached(sh.join(keep, "shingle"))
+    // probe postings are shingled DIRECTLY from the probe docs and
+    // capped by the same keep set — identical rows to filtering shc by
+    // probe ids (shingles() is per-doc), but every operator here stays
+    // shingle-keyed: no doc_id-keyed semi/anti shuffle of the full
+    // postings, and the two pair terms below hit the SAME (shc, shp)
+    // exchanges, which ReuseExchange collapses to one shuffle each
+    val shp = TempCaches.cached(shingles(probeDocs).join(keep, "shingle"))
+    val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // term 1: any-lower × probe-higher (includes probe×probe, counted here)
+    val t1 = shc.as("a").join(shp.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("common"))
+    // term 2: probe-lower × any-higher; its probe×probe overlap with
+    // term 1 is removed POST-aggregation (the pair table is tiny next
+    // to the candidate stream, so the doc_id-keyed anti-join is cheap)
+    val probeIds = probeDocs.select(col("doc_id"))
+    val t2 = shp.as("a").join(shc.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("common"))
+      .join(probeIds.select(col("doc_id").as("doc2")), Seq("doc2"), "left_anti")
+    val pairs = t1.unionAll(t2.select(col("doc1"), col("doc2"), col("common")))
+    val jac = col("common").cast("double") /
+      (col("n1") + col("n2") - col("common")).cast("double")
+    pairs
+      .join(cnt.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+      .join(cnt.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+      .select(col("doc1"), col("doc2"), col("common"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** The q18/q36 pair CTEs over a source relation `src` that provides
     * (doc_id, text). */
   private def cappedPairsSql(src: String): String =
@@ -686,7 +738,7 @@ object TextPipeline {
       .select(col("doc_id"), col("text")))
     val u = store.select(col("doc_id"), col("text"))
       .unionAll(bx.select(col("doc_id"), col("text")))
-    val pairs = TempCaches.cached(cappedJaccardPairs(u))
+    val pairs = TempCaches.cached(cappedJaccardPairsProbe(u, bx))
     // drop a batch doc pairing with anyone lower (store or batch)...
     val drop1 = pairs.join(bx.select(col("doc_id").as("doc2")), Seq("doc2"), "left_semi")
       .select(col("doc2").as("doc_id"))
