@@ -54,4 +54,32 @@ object StreamingExtract {
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming incremental ingest — the streaming flavor of q41's
+    * exact-dedup stages: each arriving doc is dropped when its
+    * content hash is already COMMITTED (a stream-static left_anti
+    * join against the snapshot's hash column — only hashes sit on
+    * the static side, never bodies; at scale that side is the
+    * store's hash index, broadcast or shuffled once per micro-batch
+    * by Spark's stream-static planning), then deduped WITHIN the
+    * stream under the same bounded-state watermark as dedupStream.
+    * Near-dup admission deliberately stays the daily batch job
+    * (q41's df-capped machinery): cross-batch LSH state would grow
+    * with the corpus, not the horizon, which is exactly what the
+    * watermark contract forbids. */
+  def ingestStream(docs: DataFrame, storeHashes: DataFrame,
+                   horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .join(storeHashes, Seq("content_hash"), "left_anti")
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** The committed store's content-hash index in the shape
+    * `ingestStream` expects on its static side. */
+  def storeHashIndex(store: graft.pipeline.TranscriptStore,
+                     spark: SparkSession): DataFrame =
+    store.readData(spark)
+      .select(md5(col("text_content").cast("binary")).as("content_hash"))
+      .distinct()
 }
