@@ -1077,7 +1077,52 @@ object TextPipeline {
     repetition(Tables.documents(s, d).select(col("doc_id"), col("text")))
   }
 
+  // ------------------------------------------------------------------
+  // q47 — train/val/test split-leakage audit: deterministic
+  // hash-based split assignment (80/10/10 on a content-independent
+  // key hash, the q44 idiom — stable across re-runs and engines),
+  // then every capped-Jaccard near-dup pair CROSSING two different
+  // splits is flagged (a val/test doc near-dupping a train doc is
+  // exactly the leakage that inflates eval numbers). Scale shape:
+  // the split column is a codegen'd projection; the pair machinery is
+  // q18's df-capped join; the split lookup joins are doc_id-keyed
+  // against the tiny pair table. Reuses cappedJaccardPairs verbatim.
+  // ------------------------------------------------------------------
+  private[graft] def splitOf(idCol: Column): Column = {
+    val pri = fpCol(concat(lit("split:"), idCol.cast("string")), 31L, P) % 100L
+    when(pri < 80, "train").when(pri < 90, "val").otherwise("test")
+  }
+
+  private[graft] def splitLeakage(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sp = docs.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+    cappedJaccardPairs(docs.select(col("doc_id"), col("text")))
+      .join(sp.select(col("doc_id").as("doc1"), col("split").as("split1")), "doc1")
+      .join(sp.select(col("doc_id").as("doc2"), col("split").as("split2")), "doc2")
+      .filter(col("split1") =!= col("split2"))
+      .select(col("doc1"), col("doc2"), col("split1"), col("split2"), col("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  private def splitSqlExpr(idExpr: String): String =
+    s"CASE WHEN ${fpSql(s"'split:' || CAST($idExpr AS VARCHAR)", 31L, P)} % 100 < 80 THEN 'train' " +
+      s"WHEN ${fpSql(s"'split:' || CAST($idExpr AS VARCHAR)", 31L, P)} % 100 < 90 THEN 'val' " +
+      "ELSE 'test' END"
+
+  val q47 = Q(
+    "q47_split_leakage",
+    s"""WITH ${cappedPairsSql("documents")},
+       |sp AS (SELECT doc_id, ${splitSqlExpr("doc_id")} AS split FROM documents)
+       |SELECT p.doc1, p.doc2, s1.split AS split1, s2.split AS split2, p.jaccard
+       |FROM pairs p
+       |JOIN sp s1 ON p.doc1 = s1.doc_id
+       |JOIN sp s2 ON p.doc2 = s2.doc_id
+       |WHERE s1.split <> s2.split
+       |ORDER BY p.doc1, p.doc2""".stripMargin) { (s, d) =>
+    splitLeakage(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+  }
+
   val all: Seq[Q] =
     Seq(q04, q05, q06, q07, q11, q12, q13, q14, q18, q36, q39, q40,
-      q41, q42, q43, q44, q45, q46)
+      q41, q42, q43, q44, q45, q46, q47)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantics pins for the round-6 mixing/keyword/repetition operators:
@@ -80,6 +81,41 @@ class MixRepetitionSpec extends AnyFunSuite {
     // 2 shingles, no repetition: top_frac 0.5 but under the n_sh >= 30
     // floor the top-frac rule must NOT fire
     assert(got(2L) == ((2L, 2L, 1L, 0.0, 0.5, false)))
+  }
+
+  // ---------------- q47 splitLeakage ----------------
+
+  test("splitOf is deterministic with an ~80/10/10 distribution") {
+    val s = spark; import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val ids = (1L to 1000L).toDF("doc_id")
+    val counts = ids.select(TextPipeline.splitOf(col("doc_id")).as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 750L && counts("train") < 850L, counts.toString)
+    assert(counts("val") > 60L && counts("val") < 140L, counts.toString)
+    assert(counts("test") > 60L && counts("test") < 140L, counts.toString)
+  }
+
+  test("q47 equals q18's near-dup pairs restricted to cross-split (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    try {
+      val q18 = graft.SparkEntry.queries("q18_shingle_jaccard_capped")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.queries.TempCaches.release(spark)
+      val q47 = graft.SparkEntry.queries("q47_split_leakage")(spark, d).collect()
+      graft.queries.TempCaches.release(spark)
+      val q47Pairs = q47.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(q47Pairs.subsetOf(q18)) // every leak is a near-dup pair
+      q47.foreach(r => assert(r.getString(2) != r.getString(3))) // strictly cross-split
+      // the dropped complement is exactly the same-split pairs
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), TextPipeline.splitOf(col("doc_id")).as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = q18.filter { case (a, b) => docs(a) != docs(b) }
+      assert(q47Pairs == expected)
+    } finally graft.queries.TempCaches.release(spark)
   }
 
   test("repetition omits docs with fewer than 3 tokens") {
