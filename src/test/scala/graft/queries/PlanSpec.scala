@@ -176,6 +176,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("q47: split-leakage joins stay keyed — no nested loop, no cartesian") {
+    val p = plan("q47_split_leakage")
+    try {
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    } finally TempCaches.release(spark)
+  }
+
   test("q10: cosine runs inside codegen (no interpreted lambda in the join)") {
     val p = plan("q10_cosine_topk")
     assert(p.contains("cosine_sim"), p.take(2000))
