@@ -83,8 +83,9 @@ object ExtractJob {
     }
   }
 
-  def run(spark: SparkSession, turns: DataFrame): DataFrame =
-    runTyped(spark, turns).toDF()
+  def run(spark: SparkSession, turns: DataFrame,
+          repartitionInput: Boolean = true): DataFrame =
+    runTyped(spark, turns, repartitionInput = repartitionInput).toDF()
 }
 
 /** Per-conversation reassembly in stable (conv_id, turn_idx) order —

@@ -11,9 +11,21 @@ object ExtractQueries {
 
   /** Flagship: synthesize the transcript table from `documents`,
     * run the full per-turn extraction, return stable-ordered rows. */
+  // Round-7 shape for the extract-based queries: the documents scan is
+  // rebalanced to full parallelism FIRST (Tables.parallelize — a no-op
+  // when the source is properly split), so the HTML synthesis runs
+  // parallel, and ExtractJob's own salted repartition is then elided
+  // (repartitionInput = false): ONE shuffle total, carrying the RAW
+  // document text (~4-6x smaller than the synthesized HTML the old
+  // post-generation shuffle moved — guide §2.3 "shuffle fewer bytes").
+  // Round-robin rebalance spreads the skewed conversation's turns
+  // evenly, which is exactly what the salt achieved; extraction is
+  // per-turn pure, so results are identical.
+  private def parTurns(s: org.apache.spark.sql.SparkSession, d: String) =
+    TranscriptGen.fromDocuments(Tables.parallelize(Tables.documents(s, d)))
+
   val qExtract = Q.noOracle("q20_extract_turns") { (s, d) =>
-    val turns = TranscriptGen.fromDocuments(Tables.documents(s, d))
-    ExtractJob.run(s, turns)
+    ExtractJob.run(s, parTurns(s, d), repartitionInput = false)
       .select(col("conv_id"), col("turn_idx"), col("platform"), col("title"),
         col("text_content"), col("metrics.fallback_stage").as("fallback_stage"))
       .orderBy(col("conv_id"), col("turn_idx"))
@@ -21,8 +33,7 @@ object ExtractQueries {
 
   /** Per-platform extraction metrics rollup (north rule metrics). */
   val qMetrics = Q.noOracle("q21_extract_metrics") { (s, d) =>
-    val turns = TranscriptGen.fromDocuments(Tables.documents(s, d))
-    ExtractJob.run(s, turns)
+    ExtractJob.run(s, parTurns(s, d), repartitionInput = false)
       .groupBy(col("platform"))
       .agg(
         count(lit(1)).as("n_turns"),
@@ -37,8 +48,8 @@ object ExtractQueries {
     * (conv_id, turn_idx) order (ForumExtractor.reorganizeContent at
     * table scale; SURVEY.md §2.8/§2.10). */
   val qReassemble = Q.noOracle("q22_extract_reassembly") { (s, d) =>
-    val turns = TranscriptGen.fromDocuments(Tables.documents(s, d))
-    Reassembly.conversations(ExtractJob.run(s, turns))
+    Reassembly.conversations(
+        ExtractJob.run(s, parTurns(s, d), repartitionInput = false))
       .orderBy(col("conv_id"))
   }
 
@@ -61,7 +72,7 @@ object ExtractQueries {
     * cleaning adds one (md5, doc_id) shuffle, the df-capped shingle
     * join, and two anti-joins — the same plan PlanSpec pins for q36. */
   val qExtractClean = Q.noOracle("q38_extract_corpus_clean") { (s, d) =>
-    val turns = TranscriptGen.fromDocuments(Tables.documents(s, d))
+    val turns = parTurns(s, d)
     // CACHED: corpusClean references its input on both sides of the
     // dedup join (and in the near-dup stage), so an uncached input
     // would re-run the EXPENSIVE extraction 2-3x — a real 2x at
@@ -74,7 +85,7 @@ object ExtractQueries {
     // cache retention — same plan downstream, durable intermediate
     // (round-5 VERDICT #3).
     val ex = graft.queries.TempCaches.cached(
-      ExtractJob.run(s, turns).select(
+      ExtractJob.run(s, turns, repartitionInput = false).select(
         xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"),
         col("platform"), col("text_content").as("text")))
     graft.queries.TextPipeline.corpusClean(ex, "platform")

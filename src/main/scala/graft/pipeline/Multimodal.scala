@@ -449,7 +449,15 @@ object Multimodal {
     * stay opaque binary, one row per doc, no shuffle. */
   def syntheticAssetsDecodable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("n_chars").cast("long"))
+    // input-split rebalance BEFORE the codec mapPartitions: the added
+    // exchange carries only (doc_id, n_chars) — 16 bytes/row — so the
+    // guide-§8 invariant holds (payload bytes are synthesized after
+    // the shuffle and never move again until the caller's sink); a
+    // no-op when the scan already yields full parallelism (see
+    // Tables.parallelize). Without it the sandbox's single-split
+    // documents scan ran every PNG/WAV/AVI encode on 1 of 32 cores.
+    graft.queries.Tables.parallelize(
+        docs.select(col("doc_id"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, nChars) =>

@@ -106,8 +106,10 @@ object MultimodalQueries {
   val q33 = Q.noOracle("q33_checkpoint_roundtrip") { (s, d) =>
     val dir = java.nio.file.Files.createTempDirectory("graft-store-q33").toString
     val store = new ParquetSnapshotStore(dir)
-    val turns = TranscriptGen.fromDocuments(Tables.documents(s, d))
-    CheckpointedExtract.run(s, turns, store, buckets = 8, bucketsPerCommit = 4)
+    val turns = TranscriptGen.fromDocuments(
+      Tables.parallelize(Tables.documents(s, d)))
+    CheckpointedExtract.run(s, turns, store, buckets = 8, bucketsPerCommit = 4,
+      repartitionInput = false)
     store.readData(s)
       .select(col("conv_id"), col("turn_idx"), col("platform"),
         col("text_content"))

@@ -121,8 +121,13 @@ object CheckpointedExtract {
     * Iceberg analogue stages to an uncommitted WAP branch and commits
     * per bucket group from it).
     */
+  /** @param repartitionInput forwarded to [[ExtractJob.run]] — pass
+    *   false when `turns` is already well-partitioned (e.g. built
+    *   from a Tables.parallelize'd scan), eliding the salted shuffle
+    *   of the synthesized HTML bodies. */
   def run(spark: SparkSession, turns: DataFrame, store: TranscriptStore,
-          buckets: Int = 8, bucketsPerCommit: Int = 4): Seq[Long] = {
+          buckets: Int = 8, bucketsPerCommit: Int = 4,
+          repartitionInput: Boolean = true): Seq[Long] = {
     val done = store.committedBuckets()
     val todo = (0 until buckets).filterNot(done.contains)
     if (todo.isEmpty) return Seq.empty
@@ -130,7 +135,8 @@ object CheckpointedExtract {
     try {
       val bucketCol = pmod(xxhash64(col("conv_id")), lit(buckets))
       val slice = turns.filter(bucketCol.isin(todo.map(_.toLong): _*))
-      val extracted = ExtractJob.run(spark, slice).withColumn("bucket", bucketCol)
+      val extracted = ExtractJob.run(spark, slice, repartitionInput = repartitionInput)
+        .withColumn("bucket", bucketCol)
       extracted.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(staging.toString)
       // explicit schema: a zero-row slice stages no data files, and

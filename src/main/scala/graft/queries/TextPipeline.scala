@@ -91,7 +91,7 @@ object TextPipeline {
        |        len(list_filter(tk, t -> list_contains($stopListSql, t))) AS ns
        |      FROM (SELECT doc_id, text, $toksSql AS tk FROM documents))
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val base = Tables.documents(s, d).select(
+    val base = Tables.parallelize(Tables.documents(s, d)).select(
       col("doc_id"),
       length(col("text")).cast("long").as("nc"),
       size(toks(col("text"))).cast("long").as("nt"),
@@ -129,15 +129,24 @@ object TextPipeline {
       s"list_transform(list_filter(string_split($e, ''), c -> len(c) > 0), " +
       s"c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a*$base + b) % $mod)"
 
-  /** Distinct word-3-gram shingles per document (shared by q07/q12/q18). */
+  /** Distinct word-3-gram shingles per document (shared by q07/q12/q18).
+    *
+    * Round-7 (guide §2.4): the dedup key is (doc_id, shingle) and the
+    * shingle list is per-doc by construction, so the dedup happens
+    * INSIDE each row (array_distinct over the per-doc shingle array)
+    * instead of a global `.distinct()` — that exchange shuffled every
+    * posting string across the cluster to deduplicate sets that never
+    * left their row. Output rows are identical; every shingle query
+    * (q07/q18/q36/q38/q41/q43/q47) loses one full-posting shuffle.
+    * Per-row memory is bounded by document length — the same contract
+    * the token array `w` already had. */
   private[graft] def shingles(df: DataFrame): DataFrame = {
     val w = toks(col("text"))
     df.select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - 2),
-          i => concat_ws(" ", slice(col("w"), i, lit(3))))).as("shingle"))
-      .distinct()
+        explode(array_distinct(transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("shingle"))
   }
   private val shinglesSql =
     s"""words AS (SELECT doc_id, $toksSql AS w FROM documents),
@@ -158,7 +167,7 @@ object TextPipeline {
        |FROM pairs JOIN cnt c1 ON doc1 = c1.doc_id JOIN cnt c2 ON doc2 = c2.doc_id
        |WHERE CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5
        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-    val sh = TempCaches.cached(shingles(Tables.documents(s, d)))
+    val sh = TempCaches.cached(shingles(Tables.parallelize(Tables.documents(s, d))))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -234,13 +243,15 @@ object TextPipeline {
       .filter(col("df") <= HotShingleDfCap)
       .select(col("shingle"))
     val shc = TempCaches.cached(sh.join(keep, "shingle"))
-    // probe postings are shingled DIRECTLY from the probe docs and
-    // capped by the same keep set — identical rows to filtering shc by
-    // probe ids (shingles() is per-doc), but every operator here stays
-    // shingle-keyed: no doc_id-keyed semi/anti shuffle of the full
-    // postings, and the two pair terms below hit the SAME (shc, shp)
-    // exchanges, which ReuseExchange collapses to one shuffle each
-    val shp = TempCaches.cached(shingles(probeDocs).join(keep, "shingle"))
+    // probe postings = the capped union postings restricted to probe
+    // docs. shingles() is per-doc, so this is ROW-IDENTICAL to the
+    // round-6 form (re-shingle the probe slice, re-apply the cap) but
+    // reads the already-cached shc instead of re-tokenizing the batch
+    // and re-running the df-cap join — two fewer stages, and the
+    // probe-id semi-join broadcasts (|batch| ids), so no shuffle of
+    // the postings is added
+    val shp = TempCaches.cached(
+      shc.join(probeDocs.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // term 1: any-lower × probe-higher (includes probe×probe, counted here)
     val t1 = shc.as("a").join(shp.as("b"),
@@ -289,7 +300,7 @@ object TextPipeline {
     s"""WITH ${cappedPairsSql("documents")}
        |SELECT doc1, doc2, common, jaccard FROM pairs
        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-    cappedJaccardPairs(Tables.documents(s, d))
+    cappedJaccardPairs(Tables.parallelize(Tables.documents(s, d)))
       .orderBy(col("doc1"), col("doc2"))
   }
 
@@ -318,7 +329,8 @@ object TextPipeline {
        |FROM s LEFT JOIN nd ON s.doc_id = nd.doc_id
        |WHERE nd.doc_id IS NULL
        |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
-    corpusClean(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")))
+    corpusClean(Tables.parallelize(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))))
   }
 
   /** The q36 cleaning stages over ANY (doc_id, `label`, text) frame —
@@ -335,8 +347,12 @@ object TextPipeline {
       length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nw"))
     val meanWl = when(col("nt") === 0, lit(null))
       .otherwise(col("nw").cast("double") / col("nt").cast("double"))
-    val quality = base.filter(col("nt") >= 5 && col("nt") <= 20000 &&
-      coalesce(meanWl, lit(0.0)).between(2.0, 12.0))
+    // cached: the quality gate's tokenization + whitespace regex feed
+    // BOTH the dedup-canonical side and the survivor side — uncached
+    // the full heavy projection runs twice (guide §5 "reused AND
+    // recompute is more expensive")
+    val quality = TempCaches.cached(base.filter(col("nt") >= 5 && col("nt") <= 20000 &&
+      coalesce(meanWl, lit(0.0)).between(2.0, 12.0)))
     val canon = quality
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -377,7 +393,7 @@ object TextPipeline {
          |  $scoreSql
          |FROM (SELECT doc_id, lang, $toksSql AS tk FROM documents)) ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val scored = Tables.documents(s, d)
+    val scored = Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
       .select(
         col("doc_id") +: col("lang") +: langs.map { l =>
@@ -407,7 +423,7 @@ object TextPipeline {
       |    (a, b) -> (a*31 + b) % 1000000007) AS fp,
       |  CAST(length(text) AS BIGINT) AS n_chars_t
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Tables.documents(s, d).select(
+    Tables.parallelize(Tables.documents(s, d)).select(
       col("doc_id"),
       aggregate(
         transform(filter(split(col("text"), ""), c => length(c) > 0),
@@ -481,20 +497,33 @@ object TextPipeline {
     * mirrors the same arithmetic, so parity is exact. */
   val q12 = Q("q12_minhash_lsh", q12Sql) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val tf = Tables.documents(s, d)
+    val tf = Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id"), toks(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         transform(col("w"), t => fpCol(t, 31L, P)).as("f"))
-    val sh = TempCaches.cached(tf
+    // Round-7 (guide §2.4, remove shuffles outright): the shingle-fp
+    // DEDUP happens INSIDE each row (array_distinct over the per-doc
+    // fp array) instead of a global `distinct()` — the set is per-doc
+    // by construction, so the (doc_id, sfp) dedup exchange carried no
+    // information the row didn't already have. Likewise the MinHash
+    // signature is 32 array_min folds over that same array (narrow,
+    // codegen) instead of a groupBy(doc_id) with 32 min() aggregates —
+    // the round-6 shape paid TWO full shuffles (distinct + signature)
+    // before the first banding row existed; this shape pays ZERO until
+    // the bucket self-join. Same arithmetic, same distinct set ⇒
+    // bitwise-identical signatures (oracle unchanged). Per-doc arrays
+    // are bounded by document length — the same memory contract `f`
+    // already had.
+    val sfpArr = TempCaches.cached(tf
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("f")) - 2), i =>
+        array_distinct(transform(sequence(lit(1), size(col("f")) - 2), i =>
           ((((element_at(col("f"), i) * K3 + element_at(col("f"), i + 1)) % P)
-            * K3 + element_at(col("f"), i + 2)) % P))).as("sfp"))
-      .distinct())
+            * K3 + element_at(col("f"), i + 2)) % P))).as("sfps")))
     val aggs = (0 until MinhashPerms)
-      .map(i => min((lit(mhA(i)) * col("sfp") + lit(mhB(i))) % P).as(s"mh$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .map(i => array_min(transform(col("sfps"),
+        sfp => (lit(mhA(i)) * sfp + lit(mhB(i))) % P)).as(s"mh$i"))
+    val sig = sfpArr.select(col("doc_id") +: aggs: _*)
     val rowsPerBand = MinhashPerms / Bands
     val bandCols = (0 until Bands).map { b =>
       val bh = (0 until rowsPerBand)
@@ -523,8 +552,13 @@ object TextPipeline {
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2").as("doc_id")))
       .distinct()
-    val shCand = TempCaches.cached(sh.join(candDocs, Seq("doc_id"), "left_semi"))
-    val cnt = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // exploded postings only for candidate docs (semi-join-reduced as
+    // before); per-doc set sizes come straight off the cached array —
+    // no counting aggregation at all
+    val shCand = TempCaches.cached(
+      sfpArr.join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("sfps")).as("sfp")))
+    val cnt = sfpArr.select(col("doc_id"), size(col("sfps")).cast("long").as("n"))
     val common = cand
       .join(shCand.select(col("doc_id").as("doc1"), col("sfp")), "doc1")
       .join(shCand.select(col("doc_id").as("doc2"), col("sfp")), Seq("doc2", "sfp"))
@@ -598,16 +632,24 @@ object TextPipeline {
     * input for the same result). */
   val q13 = Q("q13_simhash_dup", q13Sql) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val tok = Tables.documents(s, d)
+    // Round-7 (guide §2.4): the (doc_id, token) pre-count shuffle is
+    // gone — Σ_distinct-tokens cnt·sign(t) ≡ Σ_token-instances sign(t)
+    // exactly (integer ±1 per instance), so the per-bit sums aggregate
+    // STRAIGHT from the exploded token stream with map-side partial
+    // aggregation: one shuffle of 62 longs per doc instead of two
+    // full passes (the old shape shuffled every distinct (doc, token)
+    // string first). Token hashes are now computed per instance on the
+    // scan side — parallel after the input rebalance, and cheaper than
+    // the string shuffle they replace. The oracle keeps the
+    // cnt-weighted form; the integers are identical.
+    val tok = Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"),
-        fpCol(col("t"), 31L, M31).as("h1"), fpCol(col("t"), 131L, M31).as("h2"),
-        col("cnt"))
+        fpCol(col("t"), 31L, M31).as("h1"), fpCol(col("t"), 131L, M31).as("h2"))
     val sumCols = (0 until 62).map { b =>
       val bit = (lit(bA(b)) * col("h1") + lit(bC(b)) * col("h2") + lit(bB(b))) % M31
-      sum(when(bit.bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s_$b")
+      sum(when(bit.bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s_$b")
     }
     val simhashCol = (0 until 62).map { b =>
       when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
@@ -721,12 +763,18 @@ object TextPipeline {
     * pair drops even if the lower side was itself dropped — mirrored
     * exactly in the oracle). Returns admitted (doc_id, n_chars_t). */
   private[graft] def incrementalIngest(store0: DataFrame, batch: DataFrame): DataFrame = {
-    val storeK = store0
+    // cached: the (h, canonical doc_id) table feeds BOTH the store
+    // canonicalization semi-join and the batch hash anti-join —
+    // uncached the md5 scan + groupBy shuffle of store0 ran twice
+    val storeK = TempCaches.cached(store0
       .groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
+      .agg(min(col("doc_id")).as("doc_id")))
     val store = TempCaches.cached(
       store0.join(storeK.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    val storeH = store.select(md5(col("text").cast("binary")).as("h")).distinct()
+    // the store's distinct content hashes ARE storeK's group keys
+    // (one canonical row per hash) — reusing them removes a second
+    // full md5 pass over the store plus a distinct exchange
+    val storeH = storeK.select(col("h"))
     // the store-hash anti-join: at scale this is the committed
     // snapshot's hash column (TranscriptStore) — a keyed shuffle of
     // 32-char hashes, the batch bodies never move for it
@@ -776,7 +824,8 @@ object TextPipeline {
        |FROM bx LEFT JOIN dropped dr ON bx.doc_id = dr.doc_id
        |WHERE dr.doc_id IS NULL
        |ORDER BY bx.doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = Tables.parallelize(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
     val store0 = docs.filter(col("doc_id") % 10 < 8)
     val batch = docs.filter(col("doc_id") % 10 >= 8)
       .unionAll(docs.filter(col("doc_id") % 10 < 8 && col("doc_id") % 25 === 0)
@@ -860,7 +909,8 @@ object TextPipeline {
        |  CAST(length(redacted) AS BIGINT) AS n_chars_red
        |FROM s3 ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    piiScrub(piiStaged(Tables.documents(s, d).select(col("doc_id"), col("text"))))
+    piiScrub(piiStaged(Tables.parallelize(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))))
       .select(col("doc_id"), col("n_url"), col("n_email"), col("n_phone"),
         fpCol(col("redacted"), 31L, P).as("fp_red"),
         length(col("redacted")).cast("long").as("n_chars_red"))
@@ -916,7 +966,8 @@ object TextPipeline {
        |  (CAST(COALESCE(h.n_hit, 0) AS DOUBLE)/CAST(c.n_sh AS DOUBLE) >= 0.5) AS contaminated
        |FROM cnt c LEFT JOIN hit h ON c.doc_id = h.doc_id
        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = Tables.parallelize(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
     contamination(docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0))
   }
@@ -1021,7 +1072,8 @@ object TextPipeline {
        |  FROM scored)
        |SELECT doc_id, rnk, term, tf, df, score FROM ranked
        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
-    tfidfTopK(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    tfidfTopK(Tables.parallelize(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
   }
 
   // ------------------------------------------------------------------
@@ -1074,7 +1126,8 @@ object TextPipeline {
        |  (CAST(n_sh - n_distinct AS DOUBLE)/CAST(n_sh AS DOUBLE) >= 0.2
        |   OR (n_sh >= 30 AND CAST(top_cnt AS DOUBLE)/CAST(n_sh AS DOUBLE) >= 0.1)) AS flagged
        |FROM g2 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    repetition(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    repetition(Tables.parallelize(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
   }
 
   // ------------------------------------------------------------------
@@ -1119,7 +1172,8 @@ object TextPipeline {
        |JOIN sp s2 ON p.doc2 = s2.doc_id
        |WHERE s1.split <> s2.split
        |ORDER BY p.doc1, p.doc2""".stripMargin) { (s, d) =>
-    splitLeakage(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+    splitLeakage(s, Tables.parallelize(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
   }
 
   val all: Seq[Q] =

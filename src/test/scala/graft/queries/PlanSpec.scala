@@ -88,16 +88,22 @@ class PlanSpec extends AnyFunSuite {
     assert(generates <= 4, s"unexpected explode count $generates")
   }
 
-  test("q30/q34/q35: multimodal decode stages are narrow — zero shuffles") {
+  test("q30/q34/q35: multimodal decode stages are narrow — payloads never shuffle") {
     // the 100 TB property: payloads stay opaque binary inside
-    // mapPartitions; no Exchange may appear anywhere in the plan
-    // (the final orderBy is the only allowed one)
+    // mapPartitions. Allowed exchanges: the final orderBy, plus the
+    // round-7 input-split rebalance (Tables.parallelize) which runs
+    // BEFORE payload synthesis and carries only (doc_id, n_chars) —
+    // 16 bytes/row, never the media bytes (and is a no-op when the
+    // scan is properly split, i.e. at production scale).
     for (name <- Seq("q30_multimodal_features", "q34_multimodal_resize_exec",
                      "q35_frame_extract")) {
       val p = plan(name)
       val exchanges = "Exchange".r.findAllIn(p).size
-      // orderBy(asset_id) introduces exactly one range exchange
-      assert(exchanges <= 1, s"$name has $exchanges exchanges:\n${p.take(2000)}")
+      assert(exchanges <= 2, s"$name has $exchanges exchanges:\n${p.take(2000)}")
+      // the rebalance exchange must sit BELOW the codec mapPartitions:
+      // no payload/binary column may flow into a RoundRobin exchange
+      val rr = p.linesIterator.filter(_.contains("RoundRobinPartitioning")).toSeq
+      assert(rr.forall(l => !l.contains("payload")), rr.mkString("\n"))
     }
   }
 
@@ -142,10 +148,16 @@ class PlanSpec extends AnyFunSuite {
     } finally TempCaches.release(spark)
   }
 
-  test("q42: PII scrub is a pure projection — no shuffle except the final orderBy") {
+  test("q42: PII scrub is a pure projection — no shuffle except orderBy + input rebalance") {
     val p = plan("q42_pii_scrub")
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1, s"q42 has $exchanges exchanges:\n${p.take(2000)}")
+    // final orderBy + the round-7 conditional input-split rebalance
+    // (absent at production scale — Tables.parallelize); the scrub
+    // itself must stay a single codegen projection with no
+    // aggregation/join exchanges
+    assert(exchanges <= 2, s"q42 has $exchanges exchanges:\n${p.take(2000)}")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
   }
 
   test("q43: contamination joins stay keyed on shingle/doc_id — no nested loop") {
