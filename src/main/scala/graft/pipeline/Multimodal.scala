@@ -40,6 +40,64 @@ object Multimodal {
     val Grid = 4
     val FeatureDim: Int = Grid * Grid // 16, same dim as StubCodec
 
+    // ImageIO defaults to a TEMP-FILE-backed stream cache: every
+    // encode/decode creates and deletes a disk cache file. Serial
+    // that is page-cached noise; with 32 concurrent codec tasks it is
+    // a file-creation storm that made the parallel multimodal queries
+    // SLOWER than the single-core round-6 runs (round-7 measurement:
+    // q30 task_sec 58 at util 0.85 vs ~2 s of real pixel work).
+    // In-memory streams remove it; output bytes are unchanged.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Per-thread reusable PNG writer + reader: the static
+      * ImageIO.write/read entry points scan the synchronized SPI
+      * registry on EVERY call — measurable contention across 32
+      * codec tasks hammering thousands of tiny images. Pixel payload
+      * semantics are unchanged (same SPI plugin, default params). */
+    private val pngWriter =
+      new ThreadLocal[javax.imageio.ImageWriter] {
+        override def initialValue(): javax.imageio.ImageWriter =
+          javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      }
+    private val pngReader =
+      new ThreadLocal[javax.imageio.ImageReader] {
+        override def initialValue(): javax.imageio.ImageReader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      }
+
+    /** ImageIO.write(img, "png", out) without the per-call SPI scans —
+      * createImage{Input,Output}Stream ALSO walk the registry, so the
+      * memory-cache stream implementations are constructed directly. */
+    private[pipeline] def writePng(img: java.awt.image.BufferedImage,
+                                   out: java.io.OutputStream): Unit = {
+      val w = pngWriter.get()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try {
+        w.setOutput(ios)
+        w.write(img)
+        ios.flush()
+      } finally {
+        w.setOutput(null)
+        ios.close()
+      }
+    }
+
+    /** ImageIO.read(in) without the per-call SPI scans; throws (caught
+      * by decodeFeatures / resizePayload, same fallback contract as
+      * ImageIO.read returning null) when the payload is not a PNG. */
+    private[pipeline] def readPng(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val r = pngReader.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        r.setInput(iis)
+        r.read(0)
+      } finally {
+        r.setInput(null)
+        iis.close()
+      }
+    }
+
     /** Small real dimensions derived from the doc's char count. */
     def dimsFor(nChars: Long): (Int, Int) =
       (16 + (math.abs(nChars) % 17).toInt, 16 + ((math.abs(nChars) * 31) % 13).toInt)
@@ -60,12 +118,12 @@ object Multimodal {
         y += 1
       }
       val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", baos)
+      writePng(img, baos)
       baos.toByteArray
     }
 
     def decode(png: Array[Byte]): java.awt.image.BufferedImage =
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      readPng(png)
 
     /** Mean per-channel-average luminance of each Grid×Grid cell
       * (row-major), normalized to [0,1]. */
@@ -579,7 +637,7 @@ object Multimodal {
             y += 1
           }
           val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", baos)
+          PngCodec.writePng(out, baos)
           Some(baos.toByteArray)
         }
       case "audio" =>
@@ -667,7 +725,7 @@ object Multimodal {
                 i += 1
               }
               val baos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", baos)
+              PngCodec.writePng(img, baos)
               SampledFrame(f, avi.width, avi.height, baos.toByteArray)
             }
             md.reset()

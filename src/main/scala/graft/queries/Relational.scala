@@ -41,8 +41,12 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+    // input-split rebalance AFTER the pushed-down filter (the scan
+    // keeps PushedFilters/pruning — PlanSpec); the sandbox lineitem is
+    // one unsplittable row group, so the decimal partial aggregation
+    // otherwise runs on one core (Tables.parallelize: no-op at scale)
+    Tables.parallelize(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
@@ -66,7 +70,10 @@ object Relational {
       |JOIN region   ON n_regionkey = r_regionkey
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
+    // rebalanced probe side: all four dims broadcast (plan-pinned), so
+    // the fact side never shuffles for the joins — but on the sandbox's
+    // single-split file every hash-probe + partial agg ran on one core
+    val li = Tables.parallelize(Tables.lineitem(s, d))
     val o  = Tables.orders(s, d)
     val c  = Tables.customer(s, d)
     val n  = Tables.nation(s, d)

@@ -208,7 +208,10 @@ object TextPipeline {
     val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= HotShingleDfCap)
       .select(col("shingle"))
-    val shc = TempCaches.cached(sh.join(keep, "shingle"))
+    // pinned: the capped postings feed the set-size agg AND both pair
+    // sides — lineage truncation keeps AQE re-optimization of the
+    // self-join tree cheap (see TempCaches.pinned)
+    val shc = TempCaches.pinned(sh.join(keep, "shingle"))
     val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = shc.as("a").join(shc.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -242,7 +245,11 @@ object TextPipeline {
     val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= HotShingleDfCap)
       .select(col("shingle"))
-    val shc = TempCaches.cached(sh.join(keep, "shingle"))
+    // pinned, not cached: shc feeds FOUR downstream consumers (shp,
+    // cnt, both pair terms) — truncating its lineage here keeps every
+    // AQE stage-boundary re-optimization of the deep q41 tree cheap
+    // (see TempCaches.pinned)
+    val shc = TempCaches.pinned(sh.join(keep, "shingle"))
     // probe postings = the capped union postings restricted to probe
     // docs. shingles() is per-doc, so this is ROW-IDENTICAL to the
     // round-6 form (re-shingle the probe slice, re-apply the cap) but
@@ -356,7 +363,9 @@ object TextPipeline {
     val canon = quality
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val surv = TempCaches.cached(
+    // pinned: survivors feed the near-dup machinery, the final
+    // anti-join AND the output projection — three deep references
+    val surv = TempCaches.pinned(
       quality.join(canon.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val nd = cappedJaccardPairs(surv.select(col("doc_id"), col("text")))
       .select(col("doc2").as("doc_id")).distinct()
@@ -769,7 +778,7 @@ object TextPipeline {
     val storeK = TempCaches.cached(store0
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")))
-    val store = TempCaches.cached(
+    val store = TempCaches.pinned(
       store0.join(storeK.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     // the store's distinct content hashes ARE storeK's group keys
     // (one canonical row per hash) — reusing them removes a second
@@ -781,12 +790,12 @@ object TextPipeline {
     val bx0 = batch.withColumn("h", md5(col("text").cast("binary")))
       .join(storeH, Seq("h"), "left_anti")
     val bk = bx0.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-    val bx = TempCaches.cached(bx0
+    val bx = TempCaches.pinned(bx0
       .join(bk.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text")))
     val u = store.select(col("doc_id"), col("text"))
       .unionAll(bx.select(col("doc_id"), col("text")))
-    val pairs = TempCaches.cached(cappedJaccardPairsProbe(u, bx))
+    val pairs = TempCaches.pinned(cappedJaccardPairsProbe(u, bx))
     // drop a batch doc pairing with anyone lower (store or batch)...
     val drop1 = pairs.join(bx.select(col("doc_id").as("doc2")), Seq("doc2"), "left_semi")
       .select(col("doc2").as("doc_id"))
