@@ -770,7 +770,14 @@ object TextPipeline {
     * (capped Jaccard ≥ 0.5) ANY store doc or a LOWER-id batch doc is
     * dropped. One-shot pair rule as in q36 (the higher side of each
     * pair drops even if the lower side was itself dropped — mirrored
-    * exactly in the oracle). Returns admitted (doc_id, n_chars_t). */
+    * exactly in the oracle). Returns admitted (doc_id, n_chars_t).
+    *
+    * PRECONDITION (round-6 ADVICE): store and batch doc_id sets must
+    * be DISJOINT — the union's shingle postings and per-doc counts are
+    * keyed by doc_id, so a batch row reusing a store doc_id with
+    * different text would merge both docs' sets and corrupt Jaccard
+    * values. All callers satisfy this (q41 re-keys refetches +1e6;
+    * StoreSpec offsets xxhash-derived ids). */
   private[graft] def incrementalIngest(store0: DataFrame, batch: DataFrame): DataFrame = {
     // cached: the (h, canonical doc_id) table feeds BOTH the store
     // canonicalization semi-join and the batch hash anti-join —
@@ -1050,7 +1057,16 @@ object TextPipeline {
   private[graft] def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
-    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // pinned (eager), not cached: tf feeds the score projection, the
+    // df table AND the n_docs scalar — uncached, the round-6 plan
+    // re-ran the full explode + wordcount aggregation THREE times
+    // (three Scan→Generate→HashAggregate chains in plans/r07
+    // q45_before); a LAZY cache does not help here because the two
+    // broadcast subqueries and the main branch materialize
+    // CONCURRENTLY under AQE, each racing to compute the unbuilt
+    // cache. localCheckpoint materializes once, before consumers run.
+    val tf = TempCaches.pinned(
+      words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(dfTab, Seq("term"))
@@ -1081,8 +1097,11 @@ object TextPipeline {
        |  FROM scored)
        |SELECT doc_id, rnk, term, tf, df, score FROM ranked
        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
-    tfidfTopK(Tables.parallelize(
-      Tables.documents(s, d).select(col("doc_id"), col("text"))))
+    // deliberately NOT parallelize'd: the explode feeds a partial agg
+    // whose map side is cheap at any split layout, and tf is pinned
+    // right after — the rebalance shuffle cost more than the map-side
+    // parallelism bought (measured 0.75 -> 1.4 s; reverted)
+    tfidfTopK(Tables.documents(s, d).select(col("doc_id"), col("text")))
   }
 
   // ------------------------------------------------------------------
