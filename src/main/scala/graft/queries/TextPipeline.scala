@@ -167,7 +167,10 @@ object TextPipeline {
        |FROM pairs JOIN cnt c1 ON doc1 = c1.doc_id JOIN cnt c2 ON doc2 = c2.doc_id
        |WHERE CAST(common AS DOUBLE)/CAST(c1.n + c2.n - common AS DOUBLE) >= 0.5
        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-    val sh = TempCaches.cached(shingles(Tables.parallelize(Tables.documents(s, d))))
+    // pinned, not cached: cnt and the two pair-join sides materialize
+    // CONCURRENTLY under AQE, racing a lazy cache into duplicate
+    // shingle builds (the q45 lesson, see TempCaches.pinned)
+    val sh = TempCaches.pinned(shingles(Tables.parallelize(Tables.documents(s, d))))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -199,9 +202,10 @@ object TextPipeline {
     * (doc_id, text) table: shingle → df-cap hot shingles → self-join →
     * exact Jaccard ≥ 0.5 on the capped sets. */
   private def cappedJaccardPairs(docs: DataFrame): DataFrame = {
-    // cache: the shingle set feeds BOTH the df computation and the
-    // capped join input — uncached it is recomputed per consumer
-    val sh = TempCaches.cached(shingles(docs))
+    // pinned: the shingle set feeds BOTH the df computation and the
+    // capped join input — those materialize concurrently under AQE
+    // and race a lazy cache into duplicate tokenization
+    val sh = TempCaches.pinned(shingles(docs))
     // df per shingle, then an inner (semi-style) join keeps cold ones;
     // at scale this is one extra groupBy on the SAME key the join
     // shuffles on, and it removes the quadratic hot-key blowup
@@ -241,7 +245,7 @@ object TextPipeline {
     * generates ALL pairs and filters; only probe-touching pairs can
     * drop anything, so results match). */
   private def cappedJaccardPairsProbe(u: DataFrame, probeDocs: DataFrame): DataFrame = {
-    val sh = TempCaches.cached(shingles(u))
+    val sh = TempCaches.pinned(shingles(u))
     val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= HotShingleDfCap)
       .select(col("shingle"))
@@ -354,11 +358,12 @@ object TextPipeline {
       length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nw"))
     val meanWl = when(col("nt") === 0, lit(null))
       .otherwise(col("nw").cast("double") / col("nt").cast("double"))
-    // cached: the quality gate's tokenization + whitespace regex feed
-    // BOTH the dedup-canonical side and the survivor side — uncached
-    // the full heavy projection runs twice (guide §5 "reused AND
-    // recompute is more expensive")
-    val quality = TempCaches.cached(base.filter(col("nt") >= 5 && col("nt") <= 20000 &&
+    // pinned (eager): the quality gate's tokenization + whitespace
+    // regex feed BOTH the dedup-canonical side and the survivor side;
+    // uncached the full heavy projection ran twice, and a lazy cache
+    // is raced by the two sides materializing concurrently under AQE
+    // — for q38 that race duplicated the EXTRACTION feeding this
+    val quality = TempCaches.pinned(base.filter(col("nt") >= 5 && col("nt") <= 20000 &&
       coalesce(meanWl, lit(0.0)).between(2.0, 12.0)))
     val canon = quality
       .groupBy(md5(col("text").cast("binary")).as("h"))
@@ -524,7 +529,9 @@ object TextPipeline {
     // bitwise-identical signatures (oracle unchanged). Per-doc arrays
     // are bounded by document length — the same memory contract `f`
     // already had.
-    val sfpArr = TempCaches.cached(tf
+    // pinned (eager): signatures, set sizes and the candidate-verify
+    // postings consume this concurrently — a lazy cache gets raced
+    val sfpArr = TempCaches.pinned(tf
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(1), size(col("f")) - 2), i =>
           ((((element_at(col("f"), i) * K3 + element_at(col("f"), i + 1)) % P)
@@ -546,11 +553,12 @@ object TextPipeline {
     val buckets = TempCaches.cached(
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
-    val cand = TempCaches.cached(buckets.as("a").join(buckets.as("b"),
+    val cand = TempCaches.pinned(buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()) // tiny; feeds the doc-id reduction AND the verify join
+      // (pinned so the band self-join runs once, not once per consumer)
     // verify candidates with exact Jaccard — but FIRST semi-join-
     // reduce the shingle table to candidate doc_ids: candidates are a
     // vanishing fraction of the corpus at scale (that is the point of
@@ -564,7 +572,7 @@ object TextPipeline {
     // exploded postings only for candidate docs (semi-join-reduced as
     // before); per-doc set sizes come straight off the cached array —
     // no counting aggregation at all
-    val shCand = TempCaches.cached(
+    val shCand = TempCaches.pinned(
       sfpArr.join(candDocs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(col("sfps")).as("sfp")))
     val cnt = sfpArr.select(col("doc_id"), size(col("sfps")).cast("long").as("n"))
@@ -663,8 +671,10 @@ object TextPipeline {
     val simhashCol = (0 until 62).map { b =>
       when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    // cache: one row per doc; feeds both sides of the chunk self-join
-    val sim = TempCaches.cached(
+    // pinned: one row per doc; feeds both sides of the chunk
+    // self-join — eager so the 62-aggregate signature build can never
+    // run more than once
+    val sim = TempCaches.pinned(
       tok.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
         .select(col("doc_id"), simhashCol.as("simhash")))
     val chunks = sim.select(col("doc_id"), col("simhash"),
@@ -950,6 +960,10 @@ object TextPipeline {
     * n_hit, overlap=n_hit/n_sh, contaminated = overlap ≥ 0.5). Docs
     * with < 3 tokens have no shingles and are absent (as in q07). */
   private[graft] def contamination(corpus: DataFrame, evalSet: DataFrame): DataFrame = {
+    // cached (lazy), deliberately NOT pinned: measured 1.28 s cached
+    // vs 1.78 s pinned — the corpus shingle build here is cheap
+    // enough that the eager-materialization barrier costs more than
+    // the duplicate-build race it prevents
     val shc = TempCaches.cached(shingles(corpus))
     val she = shingles(evalSet).select(col("shingle")).distinct()
     val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

@@ -74,18 +74,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("band") && p.contains("sig"), p.take(2000))
   }
 
-  test("q13: one shuffle row per (doc, token) — no 64x bit explode before the signature agg") {
+  test("q13: signature stage aggregates straight from token rows — no 64x bit explode") {
+    // the signature build now materializes inside the pinned `sim`
+    // intermediate (TempCaches.pinned), so its shape is asserted on a
+    // reconstructed stage plan: one explode of tokens, then the 62
+    // per-bit sums as map-side partial aggregation — the round-1
+    // shape exploded 64 rows per token before re-aggregating
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+      .select(col("doc_id"),
+        call_function("poly_hash", col("t"), lit(31L), lit(2147483647L)).as("h1"))
+    val sums = (0 until 62).map(b =>
+      sum(when((col("h1") * (b + 1)).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s_$b"))
+    val sig = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val p0 = sig.queryExecution.executedPlan.toString
+    assert(p0.contains("partial_sum(CASE WHEN"), p0.take(3000))
+    assert("Generate explode".r.findAllIn(p0).size == 1, p0.take(3000))
+
+    // and the FINAL q13 plan: only the 4-row chunk fanout explodes
+    // (once per self-join side of the pinned branch = 2), no
+    // nested-loop join
     val p = plan("q13_simhash_dup")
-    // the signature groupBy must aggregate straight from the token
-    // rows with map-side partial bit sums; the round-1 shape exploded
-    // 64 rows per token (an extra Generate + an exchange keyed on
-    // (doc_id, b)) before re-aggregating
-    assert(p.contains("partial_sum(CASE WHEN"), p.take(3000))
     val generates = "Generate explode".r.findAllIn(p).size
-    // tokens explode + the 4-row chunk fanout, each printed once per
-    // self-join side of the cached branch = 4; a per-token bit
-    // explode (round-1 shape) would add two more
     assert(generates <= 4, s"unexpected explode count $generates")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
   test("q30/q34/q35: multimodal decode stages are narrow — payloads never shuffle") {
