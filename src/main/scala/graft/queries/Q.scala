@@ -49,6 +49,9 @@ object Q {
 object TempCaches {
   private val reg = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+  private val pinReg = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]]()
 
   /** Cache `df` and register it for the session's next release. */
   private[graft] def cached(df: DataFrame): DataFrame = {
@@ -64,6 +67,10 @@ object TempCaches {
     val q = reg.remove(spark)
     if (q != null) q.forEach(df =>
       try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () })
+    val p = pinReg.remove(spark)
+    if (p != null) p.forEach(rdd =>
+      try rdd.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () })
   }
 
@@ -83,6 +90,24 @@ object TempCaches {
     * is staging the intermediate to parquet/Iceberg and reading it
     * back (the CheckpointedExtract pattern); localCheckpoint is the
     * in-memory form. The persisted blocks are reclaimed by the
-    * ContextCleaner when the plan is dropped. */
-  private[graft] def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
+    * ContextCleaner when the plan is dropped — and, like the lazy
+    * caches, is registered here so [[release]] frees the blocks
+    * DETERMINISTICALLY at the end of each sweep query instead of
+    * waiting for a GC cycle (40 pinned frames would otherwise
+    * accumulate across the driver's one-session sweep). Releasing is
+    * safe under the existing contract: release() runs only after the
+    * query's result is materialized, and a truncated-lineage RDD is
+    * never re-executed afterwards (re-running a query rebuilds its
+    * frames from scratch). */
+  private[graft] def pinned(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    try ck.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        pinReg.computeIfAbsent(ck.sparkSession,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[
+            org.apache.spark.rdd.RDD[_]]()).add(lr.rdd)
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    ck
+  }
 }

@@ -232,6 +232,16 @@ class PlanSpec extends AnyFunSuite {
     } finally TempCaches.release(spark)
   }
 
+  test("Tables.parallelize: rebalances an under-split scan; no-op when already parallel") {
+    val docs = Tables.documents(spark, sf) // single-file scan = 1 split
+    assert(Tables.parallelize(docs).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    // at or above session parallelism the scan is returned UNCHANGED —
+    // the production-scale path adds no shuffle
+    assert(Tables.parallelize(wide) eq wide)
+  }
+
   test("q10: cosine runs inside codegen (no interpreted lambda in the join)") {
     val p = plan("q10_cosine_topk")
     assert(p.contains("cosine_sim"), p.take(2000))
