@@ -64,10 +64,24 @@ final class ParquetSnapshotStore(root: String) extends TranscriptStore {
                       doneBuckets: Seq[Int]): Long = {
     val next = currentSnapshot().map(_ + 1).getOrElse(0L)
     val staging = rootPath.resolve(s"_tmp_${java.util.UUID.randomUUID()}")
-    // stage everything invisibly
-    data.write.mode(SaveMode.Overwrite).parquet(staging.resolve("data").toString)
-    lineage.write.mode(SaveMode.Overwrite).parquet(staging.resolve("_lineage").toString)
-    metrics.write.mode(SaveMode.Overwrite).parquet(staging.resolve("_metrics").toString)
+    // stage everything invisibly — the three writes are independent
+    // jobs over disjoint output dirs, so they are submitted from a
+    // small thread pool and overlap (guide §2.6: the scheduler
+    // back-fills executors from the next job's tasks while the
+    // current one drains its tail; round 7 measured the sequential
+    // form costing 3 small-job latencies per commit group). The
+    // atomic directory-rename publish below still happens only after
+    // ALL three have completed — snapshot visibility is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(data.write.mode(SaveMode.Overwrite)
+        .parquet(staging.resolve("data").toString)),
+      Future(lineage.write.mode(SaveMode.Overwrite)
+        .parquet(staging.resolve("_lineage").toString)),
+      Future(metrics.write.mode(SaveMode.Overwrite)
+        .parquet(staging.resolve("_metrics").toString)))), Duration.Inf)
     Files.writeString(staging.resolve("_buckets"), doneBuckets.mkString(","))
     // single atomic publish
     Files.move(staging, snapDir(next), StandardCopyOption.ATOMIC_MOVE)
